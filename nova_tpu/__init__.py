@@ -1,0 +1,30 @@
+"""nova_tpu — a TPU-native recursive-SNARK (Nova folding scheme) framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+microsoft/Nova (the `nova-snark` Rust crate): incrementally verifiable
+computation (IVC) via Relaxed-R1CS folding, with Pedersen / HyperKZG
+commitments, a bellpepper-style R1CS frontend, and Spartan compression.
+
+Layer map (mirrors reference layers, see SURVEY.md §1; reference at
+/root/reference, e.g. src/lib.rs:14-29):
+
+- ``nova_tpu.fields``    — prime-field arithmetic: exact host ops (Python int)
+  plus vectorized 16-bit-limb Montgomery kernels on (N, 16) uint32 arrays.
+- ``nova_tpu.curves``    — short-Weierstrass (a = 0) curve cycles:
+  Pallas/Vesta, BN254/Grumpkin, secp256k1/secq256k1.
+- ``nova_tpu.ops``       — the hot TPU kernels: MSM, SpMV, fold-axpy,
+  sumcheck binds (JAX/Pallas; sharded over a jax Mesh).
+- ``nova_tpu.parallel``  — mesh/sharding helpers (pod-scale MSM + sumcheck).
+- ``nova_tpu.provider``  — engines (Poseidon RO, Keccak transcript,
+  Pedersen/HyperKZG commitments, evaluation engines).
+- ``nova_tpu.r1cs``      — R1CS shapes, (relaxed) instances/witnesses, folds.
+- ``nova_tpu.frontend``  — constraint-system DSL + gadget library.
+- ``nova_tpu.gadgets``   — in-circuit verifier gadgets (EC, BigNat).
+- ``nova_tpu.nova``      — the IVC engine: PublicParams, RecursiveSNARK,
+  CompressedSNARK, NIFS.
+- ``nova_tpu.spartan``   — sumcheck + polynomial library + Spartan SNARKs.
+"""
+
+__version__ = "0.1.0"
+
+from nova_tpu import constants, errors  # noqa: F401

@@ -1,0 +1,17 @@
+"""Protocol constants (reference: src/constants.rs:1-16)."""
+
+# Number of bits used for challenge generation in the protocol.
+NUM_CHALLENGE_BITS = 128
+
+# Number of bits used for hash output sizing.
+NUM_HASH_BITS = 250
+
+# Width of each limb in the in-circuit bignat representation.
+BN_LIMB_WIDTH = 64
+
+# Number of limbs in the in-circuit bignat representation.
+BN_N_LIMBS = 4
+
+# Element count below which host-side (sequential) vector paths are used
+# instead of dispatching to the TPU (dispatch overhead dominates below this).
+DEVICE_THRESHOLD = 4096

@@ -1,0 +1,244 @@
+"""TPU multi-scalar multiplication: sorted-bucket Pippenger.
+
+Replaces the reference's msm/msm_small (src/provider/msm.rs:225-677) with a
+SIMD formulation (SURVEY.md §7 step 3). The Rust code scatters points into
+buckets with serial loops; TPUs need uniform vector steps, so bucket
+accumulation becomes:
+
+  1. per window: digits d_i; sort points by digit (XLA sort)
+  2. within-segment ranks r_i = i - first_index(d_i) (searchsorted)
+  3. R rounds of masked pairwise combines at strides 1,2,4,...(Brent-Kung on
+     ranks): lane i absorbs lane i+2^k when both share a digit and
+     r_i ≡ 0 mod 2^{k+1}. R = ceil(log2(max bucket load)) — computed on the
+     host from a bincount, so work is ~R·N point-adds, not N·log N.
+  4. segment heads scatter into a dense bucket table (unique indices)
+  5. window sum = sum_b b·B_b via a Hillis-Steele suffix scan + reduction
+     over the (small) bucket table, both as fori_loops.
+  6. Horner combine across windows (c doublings per step).
+
+Every jax.lax.fori_loop body contains exactly one masked point-add, so the
+compiled graph stays small regardless of N (the earlier associative_scan
+formulation inlined the operator ~40x and took minutes to compile).
+
+Sharding: points/scalars partition on N across a mesh; each device builds
+full local bucket tables which all-reduce with point-adds (log-tree over
+devices); see nova_tpu/parallel/mesh.py."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nova_tpu.curves.jpoints import (
+    xyzz_add,
+    xyzz_double,
+    xyzz_from_affine,
+    xyzz_select,
+    xyzz_to_affine_host,
+    xyzz_zero,
+)
+from nova_tpu.curves.spec import AffinePoint, CurveSpec
+from nova_tpu.fields.jfield import JField
+from nova_tpu.fields.spec import NUM_LIMBS
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+class DeviceBases:
+    """Affine bases marshalled to device: x, y (N,16) Montgomery, inf (N,)."""
+
+    def __init__(self, curve: CurveSpec, points: Sequence[AffinePoint]):
+        self.curve = curve
+        jf = JField(curve.base)
+        self.jf = jf
+        xs = jf.pack([p.x for p in points])
+        ys = jf.pack([p.y for p in points])
+        to_mont = jf.jit("to_mont")
+        self.x = to_mont(jnp.asarray(xs))
+        self.y = to_mont(jnp.asarray(ys))
+        self.inf = jnp.asarray(np.array([p.infinity for p in points], dtype=bool))
+        self.n = len(points)
+
+    _cache: dict = {}
+
+    @classmethod
+    def for_key(cls, curve: CurveSpec, points, cache_key=None) -> "DeviceBases":
+        if cache_key is not None and cache_key in cls._cache:
+            db = cls._cache[cache_key]
+            if db.n >= len(points):
+                return db
+        db = cls(curve, points)
+        if cache_key is not None:
+            cls._cache[cache_key] = db
+        return db
+
+
+def scalars_to_limbs16(scalars: Sequence[int]) -> np.ndarray:
+    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    return np.frombuffer(buf, dtype="<u2").reshape(len(scalars), 16).astype(np.uint32)
+
+
+def digits_for_windows(limbs16: np.ndarray, c: int, num_windows: int) -> np.ndarray:
+    """(W, N) uint32 window digits from (N, 16) 16-bit limbs (numpy)."""
+    n = limbs16.shape[0]
+    out = np.zeros((num_windows, n), dtype=np.uint32)
+    mask = (1 << c) - 1
+    for w in range(num_windows):
+        bit_lo = w * c
+        li, ofs = bit_lo // 16, bit_lo % 16
+        d = limbs16[:, li] >> ofs
+        have = 16 - ofs
+        if have < c and li + 1 < 16:
+            d = d | (limbs16[:, li + 1] << have)
+        out[w] = d & mask
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _window_bucket_sum(field_p: int, c: int, rounds: int, d, bx, by, binf):
+    """One Pippenger window: returns the window sum as XYZZ (scalar point,
+    arrays of shape (16,))."""
+    jf = JField._instances[field_p]
+    n = d.shape[0]
+    num_buckets = 1 << c
+
+    order = jnp.argsort(d)
+    ds = d[order]
+    px = bx[order]
+    py = by[order]
+    pinf = binf[order] | (ds == 0)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.searchsorted(ds, ds, side="left").astype(jnp.int32)
+    rank = idx - first
+
+    pts = xyzz_from_affine(jf, px, py, pinf)
+
+    def round_body(k, pts):
+        shift = jnp.int32(1) << k
+        partner = jnp.minimum(idx + shift, jnp.int32(n - 1))
+        q = {key: v[partner] for key, v in pts.items()}
+        same = (ds[partner] == ds) & ((idx + shift) < n)
+        active = same & ((rank & ((shift << 1) - 1)) == 0)
+        combined = xyzz_add(jf, pts, q)
+        return xyzz_select(jf, active, combined, pts)
+
+    pts = jax.lax.fori_loop(0, rounds, round_body, pts)
+
+    heads = rank == 0
+    ids = jnp.where(heads, ds, jnp.uint32(0)).astype(jnp.int32)
+    buckets = xyzz_zero(jf, jnp.zeros((num_buckets, NUM_LIMBS), jnp.uint32))
+    zero_pt = xyzz_zero(jf, jnp.zeros((n, NUM_LIMBS), jnp.uint32))
+    vals = xyzz_select(jf, heads, pts, zero_pt)
+    buckets = {k: buckets[k].at[ids].set(vals[k]) for k in buckets}
+    one_zero = xyzz_zero(jf, jnp.zeros((1, NUM_LIMBS), jnp.uint32))
+    buckets = {k: buckets[k].at[0:1].set(one_zero[k]) for k in buckets}
+
+    # suffix sums S[b] = sum_{b' >= b} B[b'] (Hillis-Steele, log2(B) rounds)
+    bidx = jnp.arange(num_buckets, dtype=jnp.int32)
+
+    def suffix_body(k, S):
+        shift = jnp.int32(1) << k
+        partner = jnp.minimum(bidx + shift, jnp.int32(num_buckets - 1))
+        q = {key: v[partner] for key, v in S.items()}
+        valid = (bidx + shift) < num_buckets
+        combined = xyzz_add(jf, S, q)
+        return xyzz_select(jf, valid, combined, S)
+
+    S = jax.lax.fori_loop(0, c, suffix_body, buckets)
+
+    # window sum = sum_{k=1..B-1} S[k]; mask out k=0 then tree-reduce
+    S1 = xyzz_select(
+        jf,
+        bidx >= 1,
+        S,
+        xyzz_zero(jf, jnp.zeros((num_buckets, NUM_LIMBS), jnp.uint32)),
+    )
+
+    def reduce_body(k, T):
+        shift = jnp.int32(1) << k
+        partner = jnp.minimum(bidx + shift, jnp.int32(num_buckets - 1))
+        q = {key: v[partner] for key, v in T.items()}
+        valid = (bidx + shift) < num_buckets
+        combined = xyzz_add(jf, T, q)
+        return xyzz_select(jf, valid, combined, T)
+
+    T = jax.lax.fori_loop(0, c, reduce_body, S1)
+    return {k: v[0] for k, v in T.items()}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _horner_step(field_p: int, c: int, acc, window_sum):
+    """acc = 2^c * acc + window_sum (as XYZZ scalars)."""
+    jf = JField._instances[field_p]
+
+    def dbl(_, a):
+        return xyzz_double(jf, a)
+
+    acc = jax.lax.fori_loop(0, c, dbl, acc)
+    return xyzz_add(jf, acc, window_sum)
+
+
+def msm_device(
+    scalars: Sequence[int],
+    bases: Sequence[AffinePoint] = None,
+    device_bases: Optional[DeviceBases] = None,
+    window: Optional[int] = None,
+) -> AffinePoint:
+    """MSM with host int scalars; compute on device. `device_bases` reuses a
+    marshalled commitment key."""
+    n = len(scalars)
+    if n == 0:
+        raise ValueError("empty msm")
+    if device_bases is None:
+        device_bases = DeviceBases(bases[0].curve, bases)
+    curve = device_bases.curve
+    jf = JField(curve.base)
+
+    n_pad = max(2, _next_pow2(n))
+    limbs = np.zeros((n_pad, 16), dtype=np.uint32)
+    limbs[:n] = scalars_to_limbs16(scalars)
+
+    bx, by, binf = device_bases.x, device_bases.y, device_bases.inf
+    if device_bases.n < n_pad:
+        pad = n_pad - device_bases.n
+        bx = jnp.concatenate([bx, jnp.zeros((pad, NUM_LIMBS), jnp.uint32)])
+        by = jnp.concatenate([by, jnp.zeros((pad, NUM_LIMBS), jnp.uint32)])
+        binf = jnp.concatenate([binf, jnp.ones((pad,), bool)])
+    elif device_bases.n > n_pad:
+        bx, by, binf = bx[:n_pad], by[:n_pad], binf[:n_pad]
+
+    if window is None:
+        window = 16 if n_pad >= (1 << 17) else 8
+    num_bits = curve.scalar.num_bits
+    num_windows = (num_bits + window - 1) // window
+
+    digits = digits_for_windows(limbs, window, num_windows)
+    # rounds: enough to cover the largest bucket in any window
+    max_load = 1
+    for w in range(num_windows):
+        counts = np.bincount(digits[w], minlength=1)
+        if counts.size > 1:
+            max_load = max(max_load, int(counts[1:].max(initial=1)))
+        max_load = max(max_load, 1)
+    rounds = max(1, int(np.ceil(np.log2(max_load))) if max_load > 1 else 1)
+
+    acc = None
+    d_dev = jnp.asarray(digits)
+    for w in range(num_windows - 1, -1, -1):
+        ws = _window_bucket_sum(jf.spec.p, window, rounds, d_dev[w], bx, by, binf)
+        if acc is None:
+            acc = ws
+        else:
+            acc = _horner_step(jf.spec.p, window, acc, ws)
+
+    pt = xyzz_to_affine_host(
+        jf, {k: v.reshape(1, NUM_LIMBS) for k, v in acc.items()}, curve
+    )[0]
+    return pt

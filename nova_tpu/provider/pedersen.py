@@ -1,0 +1,238 @@
+"""Pedersen commitment engine (reference: src/provider/pedersen.rs).
+
+commit(v, r) = sum_i v_i * G_i + r * H over hashed-to-curve generators.
+Generators derive from a label via a Shake256 XOF, one 32-byte block per
+generator, lifted to the curve (src/provider/traits.rs:249-293). The
+reference lifts via halo2curves' hash_to_curve; we use a documented
+try-and-increment map (see `map_to_curve`) since the halo2curves map is
+external to the reference tree. Keys are cached on disk, and large
+commitments dispatch to the TPU MSM.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from nova_tpu.constants import DEVICE_THRESHOLD
+from nova_tpu.curves.msm_host import msm as host_msm
+from nova_tpu.curves.spec import AffinePoint, CurveSpec
+from nova_tpu.provider.keccak import Shake256
+
+_KEY_CACHE_DIR = os.path.join(os.path.dirname(__file__), "_cache")
+
+
+def map_to_curve(curve: CurveSpec, uniform_bytes: bytes) -> AffinePoint:
+    """Deterministic hash-to-curve: interpret 32 bytes as a little-endian
+    integer u; take x = (u mod p) + ctr for the smallest ctr >= 0 making
+    x^3 + b square; pick the root whose parity equals bit 255 of u.
+
+    Not the halo2curves map (SSWU/SVDW); documented here as this library's
+    generator-derivation convention.
+    """
+    f = curve.base
+    u = int.from_bytes(uniform_bytes, "little")
+    parity = (u >> 255) & 1
+    x = u % f.p
+    while True:
+        rhs = f.add(f.mul(f.mul(x, x), x), curve.b % f.p)
+        y = f.sqrt(rhs)
+        if y is not None:
+            if y & 1 != parity:
+                y = f.p - y
+            return AffinePoint(curve, x, y)
+        x = f.add(x, 1)
+
+
+def from_label(curve: CurveSpec, label: bytes, n: int) -> List[AffinePoint]:
+    """Derive n generators from a label (DlogGroup::from_label semantics:
+    Shake256(label) XOF -> 32-byte blocks -> hash to curve)."""
+    reader = Shake256().update(label).finalize_xof()
+    blocks = [reader.read(32) for _ in range(n)]
+    return [map_to_curve(curve, blk) for blk in blocks]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+@dataclass
+class CommitmentKey:
+    curve: CurveSpec
+    ck: list  # List[AffinePoint] generators
+    h: AffinePoint  # blinding generator
+
+    def __len__(self):
+        return len(self.ck)
+
+    # split/combine/fold/scale for IPA (CommitmentKeyExtTrait,
+    # src/provider/pedersen.rs:431-529)
+    def split_at(self, n: int):
+        return (
+            CommitmentKey(self.curve, self.ck[:n], self.h),
+            CommitmentKey(self.curve, self.ck[n:], self.h),
+        )
+
+    def combine(self, other: "CommitmentKey") -> "CommitmentKey":
+        return CommitmentKey(self.curve, self.ck + other.ck, self.h)
+
+    def fold(self, w1: int, w2: int) -> "CommitmentKey":
+        half = len(self.ck) // 2
+        L, R = self.ck[:half], self.ck[half:]
+        ck = [l.mul(w1).add(r.mul(w2)) for l, r in zip(L, R)]
+        return CommitmentKey(self.curve, ck, self.h)
+
+    def scale(self, r: int) -> "CommitmentKey":
+        return CommitmentKey(self.curve, [g.mul(r) for g in self.ck], self.h)
+
+
+@dataclass
+class DerandKey:
+    curve: CurveSpec
+    h: AffinePoint
+
+
+class Commitment:
+    """A Pedersen commitment: a group element with the reference's
+    transcript/RO absorption conventions."""
+
+    __slots__ = ("point",)
+
+    def __init__(self, point: AffinePoint):
+        self.point = point
+
+    @staticmethod
+    def default(curve: CurveSpec) -> "Commitment":
+        return Commitment(AffinePoint.identity(curve))
+
+    def __add__(self, other: "Commitment") -> "Commitment":
+        return Commitment(self.point.add(other.point))
+
+    def __sub__(self, other: "Commitment") -> "Commitment":
+        return Commitment(self.point.sub(other.point))
+
+    def __mul__(self, scalar: int) -> "Commitment":
+        return Commitment(self.point.mul(scalar))
+
+    def __eq__(self, other):
+        return self.point == other.point
+
+    def __repr__(self):
+        return f"Commitment({self.point!r})"
+
+    def to_coordinates(self):
+        return self.point.to_coordinates()
+
+    def to_transcript_bytes(self) -> bytes:
+        return self.point.to_transcript_bytes()
+
+    def absorb_in_ro(self, ro):
+        """Absorb (x, y, infinity) in the base-field RO
+        (src/provider/pedersen.rs:120-135)."""
+        x, y, inf = self.point.to_coordinates()
+        ro.absorb(x)
+        ro.absorb(y)
+        ro.absorb(1 if inf else 0)
+
+    def absorb_in_ro2(self, ro):
+        """Absorb in the scalar-field RO as bignat limbs
+        (src/provider/pedersen.rs:137-157)."""
+        from nova_tpu.constants import BN_LIMB_WIDTH, BN_N_LIMBS
+
+        x, y, inf = self.point.to_coordinates()
+        mask = (1 << BN_LIMB_WIDTH) - 1
+        for v in (x, y):
+            for i in range(BN_N_LIMBS):
+                ro.absorb((v >> (BN_LIMB_WIDTH * i)) & mask)
+        ro.absorb(1 if inf else 0)
+
+
+class CommitmentEngine:
+    """Pedersen commitment engine (CommitmentEngineTrait impl)."""
+
+    @staticmethod
+    def setup(curve: CurveSpec, label: bytes, n: int) -> CommitmentKey:
+        num = _next_pow2(n) + 1
+        cache = os.path.join(
+            _KEY_CACHE_DIR, f"ck_{curve.name}_{label.decode()}_{num}.pkl"
+        )
+        if os.path.exists(cache):
+            with open(cache, "rb") as fh:
+                pts = pickle.load(fh)
+            gens = [AffinePoint(curve, x, y, inf) for (x, y, inf) in pts]
+        else:
+            # reuse a larger cached key if present
+            gens = None
+            if os.path.isdir(_KEY_CACHE_DIR):
+                prefix = f"ck_{curve.name}_{label.decode()}_"
+                for fn in os.listdir(_KEY_CACHE_DIR):
+                    if fn.startswith(prefix) and fn.endswith(".pkl"):
+                        try:
+                            m = int(fn[len(prefix) : -4])
+                        except ValueError:
+                            continue
+                        if m >= num:
+                            with open(os.path.join(_KEY_CACHE_DIR, fn), "rb") as fh:
+                                pts = pickle.load(fh)[:num]
+                            gens = [AffinePoint(curve, x, y, inf) for (x, y, inf) in pts]
+                            break
+            if gens is None:
+                gens = from_label(curve, label, num)
+                os.makedirs(_KEY_CACHE_DIR, exist_ok=True)
+                tmp = cache + ".tmp"
+                with open(tmp, "wb") as fh:
+                    pickle.dump([(g.x, g.y, g.infinity) for g in gens], fh)
+                os.replace(tmp, cache)
+        h, ck = gens[0], gens[1:]
+        return CommitmentKey(curve, ck, h)
+
+    @staticmethod
+    def derand_key(ck: CommitmentKey) -> DerandKey:
+        return DerandKey(ck.curve, ck.h)
+
+    @staticmethod
+    def commit(ck: CommitmentKey, v: Sequence[int], r: int = 0) -> Commitment:
+        assert len(ck.ck) >= len(v), (len(ck.ck), len(v))
+        if len(v) == 0:
+            acc = AffinePoint.identity(ck.curve)
+        elif len(v) >= DEVICE_THRESHOLD:
+            from nova_tpu.ops.msm import msm_device
+
+            acc = msm_device(list(v), ck.ck[: len(v)])
+        else:
+            acc = host_msm(list(v), ck.ck[: len(v)])
+        if r:
+            acc = acc.add(ck.h.mul(r))
+        return Commitment(acc)
+
+    @staticmethod
+    def commit_small(ck: CommitmentKey, v: Sequence[int], r: int = 0) -> Commitment:
+        return CommitmentEngine.commit(ck, v, r)
+
+    @staticmethod
+    def commit_sparse(
+        ck: CommitmentKey, indices: Sequence[int], scalars: Sequence[int], r: int = 0
+    ) -> Commitment:
+        assert len(indices) == len(scalars)
+        bases = [ck.ck[i] for i in indices]
+        acc = host_msm(list(scalars), bases) if bases else AffinePoint.identity(ck.curve)
+        if r:
+            acc = acc.add(ck.h.mul(r))
+        return Commitment(acc)
+
+    @staticmethod
+    def commit_sparse_binary(
+        ck: CommitmentKey, non_zero_indices: Sequence[int], r: int = 0
+    ) -> Commitment:
+        acc = AffinePoint.identity(ck.curve)
+        for i in non_zero_indices:
+            acc = acc.add(ck.ck[i])
+        if r:
+            acc = acc.add(ck.h.mul(r))
+        return Commitment(acc)
+
+    @staticmethod
+    def derandomize(dk: DerandKey, commit: Commitment, r: int) -> Commitment:
+        return Commitment(commit.point.sub(dk.h.mul(r)))

@@ -1,0 +1,12 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+sharding tests exercise a multi-chip mesh without TPU hardware (the driver
+separately dry-runs the multi-chip path; see __graft_entry__.py)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
