@@ -1,0 +1,306 @@
+"""The Nova augmented circuit F' (reference: src/nova/circuit/mod.rs +
+circuit/r1cs.rs).
+
+Each step synthesizes F' = (in-circuit NIFS verifier for the OTHER curve's
+instances) + (the user's step circuit F). The circuit is defined over
+engine.base (the base field of the curve whose points it manipulates =
+the scalar field of the cycle partner where the constraint system lives).
+
+Public IO: exactly two values [u.X1, H(pp, i+1, z0, z_{i+1}, U_new, r_next)]
+(src/nova/circuit/mod.rs:350-353)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+from nova_tpu.constants import BN_LIMB_WIDTH, BN_N_LIMBS, NUM_CHALLENGE_BITS, NUM_HASH_BITS
+from nova_tpu.frontend.boolean import AllocatedBit, Boolean
+from nova_tpu.frontend.constraint_system import ConstraintSystem, LinearCombination, ONE
+from nova_tpu.frontend.num import AllocatedNum, Num
+from nova_tpu.gadgets.bignat import BigNat, conditionally_select_bignat
+from nova_tpu.gadgets.ecc import AllocatedPoint
+from nova_tpu.gadgets.poseidon_circuit import PoseidonROCircuit
+from nova_tpu.gadgets.utils import (
+    alloc_num_equals,
+    alloc_scalar_as_base,
+    alloc_zero,
+    conditionally_select,
+    conditionally_select_vec,
+    lc_of,
+    le_bits_to_num,
+)
+from nova_tpu.provider.engines import Engine
+
+
+class StepCircuit:
+    """User step circuit trait (reference src/traits/circuit.rs:7-21)."""
+
+    def arity(self) -> int:
+        raise NotImplementedError
+
+    def synthesize(self, cs: ConstraintSystem, z: List[AllocatedNum]) -> List[AllocatedNum]:
+        raise NotImplementedError
+
+
+class TrivialCircuit(StepCircuit):
+    """z_{i+1} = z_i (reference src/traits/circuit.rs TrivialCircuit)."""
+
+    def arity(self) -> int:
+        return 1
+
+    def synthesize(self, cs, z):
+        return list(z)
+
+
+# ---------------------------------------------------------------------------
+# allocated instance gadgets (circuit/r1cs.rs)
+# ---------------------------------------------------------------------------
+
+class AllocatedR1CSInstance:
+    def __init__(self, comm_W: AllocatedPoint, X0: AllocatedNum, X1: AllocatedNum):
+        self.comm_W = comm_W
+        self.X0 = X0
+        self.X1 = X1
+
+    @staticmethod
+    def alloc(cs, engine: Engine, u) -> "AllocatedR1CSInstance":
+        comm_W = AllocatedPoint.alloc(
+            cs, engine.curve, None if u is None else u.comm_W.to_coordinates()
+        )
+        comm_W.check_on_curve(cs)
+        X0 = alloc_scalar_as_base(cs, None if u is None else u.X[0])
+        X1 = alloc_scalar_as_base(cs, None if u is None else u.X[1])
+        return AllocatedR1CSInstance(comm_W, X0, X1)
+
+    def absorb_in_ro(self, ro: PoseidonROCircuit):
+        self.comm_W.absorb_in_ro(ro)
+        ro.absorb(self.X0)
+        ro.absorb(self.X1)
+
+
+class AllocatedRelaxedR1CSInstance:
+    def __init__(self, W, E, u, X0: BigNat, X1: BigNat):
+        self.W = W
+        self.E = E
+        self.u = u
+        self.X0 = X0
+        self.X1 = X1
+
+    @staticmethod
+    def alloc(cs, engine: Engine, inst) -> "AllocatedRelaxedR1CSInstance":
+        W = AllocatedPoint.alloc(
+            cs, engine.curve, None if inst is None else inst.comm_W.to_coordinates()
+        )
+        E = AllocatedPoint.alloc(
+            cs, engine.curve, None if inst is None else inst.comm_E.to_coordinates()
+        )
+        u = alloc_scalar_as_base(cs, None if inst is None else inst.u)
+        X0 = BigNat.alloc_from_nat(
+            cs, 0 if inst is None else inst.X[0], BN_LIMB_WIDTH, BN_N_LIMBS
+        )
+        X1 = BigNat.alloc_from_nat(
+            cs, 0 if inst is None else inst.X[1], BN_LIMB_WIDTH, BN_N_LIMBS
+        )
+        return AllocatedRelaxedR1CSInstance(W, E, u, X0, X1)
+
+    @staticmethod
+    def default(cs, engine: Engine) -> "AllocatedRelaxedR1CSInstance":
+        W = AllocatedPoint.default(cs, engine.curve)
+        E = AllocatedPoint(engine.curve, W.x, W.y, W.is_infinity)
+        u = W.x  # zero
+        X0 = BigNat.alloc_from_nat(cs, 0, BN_LIMB_WIDTH, BN_N_LIMBS)
+        X1 = BigNat.alloc_from_nat(cs, 0, BN_LIMB_WIDTH, BN_N_LIMBS)
+        return AllocatedRelaxedR1CSInstance(W, E, u, X0, X1)
+
+    @staticmethod
+    def from_r1cs_instance(cs, engine: Engine, inst: AllocatedR1CSInstance):
+        E = AllocatedPoint.default(cs, engine.curve)
+        u = AllocatedNum(ONE, 1)
+        X0 = BigNat.from_num(cs, Num.from_allocated(inst.X0), BN_LIMB_WIDTH, BN_N_LIMBS)
+        X1 = BigNat.from_num(cs, Num.from_allocated(inst.X1), BN_LIMB_WIDTH, BN_N_LIMBS)
+        return AllocatedRelaxedR1CSInstance(inst.comm_W, E, u, X0, X1)
+
+    def absorb_in_ro(self, cs, ro: PoseidonROCircuit):
+        self.W.absorb_in_ro(ro)
+        self.E.absorb_in_ro(ro)
+        ro.absorb(self.u)
+        for limb in self.X0.as_allocated_nums(cs):
+            ro.absorb(limb)
+        for limb in self.X1.as_allocated_nums(cs):
+            ro.absorb(limb)
+
+    def fold_with_r1cs(
+        self,
+        cs,
+        engine: Engine,
+        params: AllocatedNum,
+        u: AllocatedR1CSInstance,
+        T: AllocatedPoint,
+        ro_consts,
+    ) -> "AllocatedRelaxedR1CSInstance":
+        """In-circuit NIFS.verify (circuit/r1cs.rs:215-307)."""
+        f = cs.field
+        ro = PoseidonROCircuit(ro_consts)
+        ro.absorb(params)
+        u.absorb_in_ro(ro)
+        T.absorb_in_ro(ro)
+        r_bits = ro.squeeze(cs, NUM_CHALLENGE_BITS, False)
+        r = le_bits_to_num(cs, r_bits)
+
+        rW = u.comm_W.scalar_mul(cs, r_bits)
+        W_fold = self.W.add(cs, rW)
+        rT = T.scalar_mul(cs, r_bits)
+        E_fold = self.E.add(cs, rT)
+
+        u_val = None
+        if self.u.get_value() is not None and r.get_value() is not None:
+            u_val = f.add(self.u.get_value(), r.get_value())
+        u_fold = AllocatedNum.alloc(cs, u_val)
+        cs.enforce(
+            LinearCombination.zero(),
+            LinearCombination.zero(),
+            lc_of(u_fold.get_variable()) - self.u.get_variable() - r.get_variable(),
+        )
+
+        r_bn = BigNat.from_num(cs, Num.from_allocated(r), BN_LIMB_WIDTH, BN_N_LIMBS)
+        m_bn = BigNat.alloc_constant(cs, engine.scalar.p, BN_LIMB_WIDTH, BN_N_LIMBS)
+
+        X0_bn = BigNat.from_num(cs, Num.from_allocated(u.X0), BN_LIMB_WIDTH, BN_N_LIMBS)
+        _, r_0 = X0_bn.mult_mod(cs, r_bn, m_bn)
+        X0_fold = self.X0.add(r_0).red_mod(cs, m_bn)
+
+        X1_bn = BigNat.from_num(cs, Num.from_allocated(u.X1), BN_LIMB_WIDTH, BN_N_LIMBS)
+        _, r_1 = X1_bn.mult_mod(cs, r_bn, m_bn)
+        X1_fold = self.X1.add(r_1).red_mod(cs, m_bn)
+
+        return AllocatedRelaxedR1CSInstance(W_fold, E_fold, u_fold, X0_fold, X1_fold)
+
+    def conditionally_select(self, cs, other, condition: Boolean):
+        W = AllocatedPoint.conditionally_select_point(cs, self.W, other.W, condition)
+        E = AllocatedPoint.conditionally_select_point(cs, self.E, other.E, condition)
+        u = conditionally_select(cs, self.u, other.u, condition)
+        X0 = conditionally_select_bignat(cs, self.X0, other.X0, condition)
+        X1 = conditionally_select_bignat(cs, self.X1, other.X1, condition)
+        return AllocatedRelaxedR1CSInstance(W, E, u, X0, X1)
+
+
+# ---------------------------------------------------------------------------
+# the augmented circuit
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NovaAugmentedCircuitInputs:
+    pp_digest: int  # E::Scalar
+    i: int  # E::Base
+    z0: List[int]
+    zi: Optional[List[int]] = None
+    U: Optional[object] = None  # RelaxedR1CSInstance (of the other curve's shape)
+    ri: Optional[int] = None
+    r_next: int = 0
+    u: Optional[object] = None  # R1CSInstance
+    T: Optional[object] = None  # Commitment
+
+
+class NovaAugmentedCircuit:
+    """F' over `engine` (points of engine.curve, CS over engine.base)."""
+
+    def __init__(self, engine: Engine, is_primary_circuit: bool, inputs, step_circuit, ro_consts):
+        self.engine = engine
+        self.is_primary_circuit = is_primary_circuit
+        self.inputs = inputs
+        self.step_circuit = step_circuit
+        self.ro_consts = ro_consts
+
+    def _alloc_witness(self, cs, arity):
+        inp = self.inputs
+        pp_digest = alloc_scalar_as_base(cs, None if inp is None else inp.pp_digest)
+        i = AllocatedNum.alloc(cs, None if inp is None else inp.i)
+        z_0 = [
+            AllocatedNum.alloc(cs, None if inp is None else inp.z0[j]) for j in range(arity)
+        ]
+        zi_vals = None
+        if inp is not None:
+            zi_vals = inp.zi if inp.zi is not None else [0] * arity
+        z_i = [
+            AllocatedNum.alloc(cs, None if zi_vals is None else zi_vals[j])
+            for j in range(arity)
+        ]
+        U = AllocatedRelaxedR1CSInstance.alloc(
+            cs, self.engine, None if inp is None else inp.U
+        )
+        r_i = AllocatedNum.alloc(
+            cs, None if inp is None else (inp.ri if inp.ri is not None else 0)
+        )
+        r_next = AllocatedNum.alloc(cs, None if inp is None else inp.r_next)
+        u = AllocatedR1CSInstance.alloc(cs, self.engine, None if inp is None else inp.u)
+        T = AllocatedPoint.alloc(
+            cs,
+            self.engine.curve,
+            None if (inp is None or inp.T is None) else inp.T.to_coordinates(),
+        )
+        T.check_on_curve(cs)
+        return pp_digest, i, z_0, z_i, U, r_i, r_next, u, T
+
+    def _hash_check(self, cs, pp_digest, i, z_0, z_i, U, r_i) -> AllocatedNum:
+        ro = PoseidonROCircuit(self.ro_consts)
+        ro.absorb(pp_digest)
+        ro.absorb(i)
+        for e in z_0:
+            ro.absorb(e)
+        for e in z_i:
+            ro.absorb(e)
+        U.absorb_in_ro(cs, ro)
+        ro.absorb(r_i)
+        hash_bits = ro.squeeze(cs, NUM_HASH_BITS, False)
+        return le_bits_to_num(cs, hash_bits)
+
+    def synthesize(self, cs: ConstraintSystem) -> List[AllocatedNum]:
+        arity = self.step_circuit.arity()
+        pp_digest, i, z_0, z_i, U, r_i, r_next, u, T = self._alloc_witness(cs, arity)
+
+        zero = alloc_zero(cs)
+        is_base_case = alloc_num_equals(cs, i, zero)
+
+        hash_in = self._hash_check(cs, pp_digest, i, z_0, z_i, U, r_i)
+        check_non_base_pass = alloc_num_equals(cs, u.X0, hash_in)
+
+        # base case
+        if self.is_primary_circuit:
+            Unew_base = AllocatedRelaxedR1CSInstance.default(cs, self.engine)
+        else:
+            Unew_base = AllocatedRelaxedR1CSInstance.from_r1cs_instance(cs, self.engine, u)
+
+        # non-base case: in-circuit fold
+        Unew_non_base = U.fold_with_r1cs(cs, self.engine, pp_digest, u, T, self.ro_consts)
+
+        # check_non_base_pass OR base_case
+        should_be_false = AllocatedBit.nor(cs, check_non_base_pass, is_base_case)
+        cs.enforce(
+            lc_of(should_be_false.get_variable()),
+            lc_of(ONE),
+            LinearCombination.zero(),
+        )
+
+        Unew = Unew_base.conditionally_select(
+            cs, Unew_non_base, Boolean.from_bit(is_base_case)
+        )
+
+        f = cs.field
+        i_new_val = None if i.get_value() is None else f.add(i.get_value(), 1)
+        i_new = AllocatedNum.alloc(cs, i_new_val)
+        cs.enforce(
+            LinearCombination.zero(),
+            LinearCombination.zero(),
+            lc_of(i_new.get_variable()) - (1, ONE) - i.get_variable(),
+        )
+
+        z_input = conditionally_select_vec(cs, z_0, z_i, Boolean.from_bit(is_base_case))
+        z_next = self.step_circuit.synthesize(cs, z_input)
+        assert len(z_next) == arity
+
+        hash_out = self._hash_check(cs, pp_digest, i_new, z_0, z_next, Unew, r_next)
+
+        u.X1.inputize(cs)
+        hash_out.inputize(cs)
+        return z_next
