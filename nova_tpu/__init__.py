@@ -27,4 +27,22 @@ Layer map (mirrors reference layers, see SURVEY.md §1; reference at
 
 __version__ = "0.1.0"
 
-from nova_tpu import constants, errors  # noqa: F401
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: kernel shapes recur across processes
+# (fixed circuit sizes), so first-compile cost (~20-40s/kernel) is paid once
+# per machine, not per run.
+_cache_dir = _os.environ.get(
+    "NOVA_TPU_XLA_CACHE", _os.path.join(_os.path.expanduser("~"), ".cache", "nova_tpu_xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
+from nova_tpu import constants, errors  # noqa: F401,E402

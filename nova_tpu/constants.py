@@ -14,4 +14,8 @@ BN_N_LIMBS = 4
 
 # Element count below which host-side (sequential) vector paths are used
 # instead of dispatching to the TPU (dispatch overhead dominates below this).
-DEVICE_THRESHOLD = 4096
+# Vector-length crossover for dispatching commitments/folds to the TPU
+# device kernels; below it the C++ host kernels (nova_tpu.native) win on
+# latency. With the accelerator behind a network tunnel each dispatch costs
+# ~0.5-2s, so the crossover sits high; on locally-attached chips it drops.
+DEVICE_THRESHOLD = 1 << 17

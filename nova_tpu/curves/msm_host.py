@@ -25,11 +25,17 @@ def msm_naive(scalars: Sequence[int], bases: Sequence[AffinePoint]) -> AffinePoi
 
 
 def msm(scalars: Sequence[int], bases: Sequence[AffinePoint], window: int = 8) -> AffinePoint:
-    """Windowed Pippenger with bucket prefix sums (host)."""
+    """Windowed Pippenger (host). Dispatches to the C++ kernel
+    (native/nova_native.cpp) when built; pure-Python fallback below."""
     assert len(scalars) == len(bases)
     if not bases:
         raise ValueError("empty msm")
     curve = bases[0].curve
+    if len(bases) > 8:
+        from nova_tpu import native
+
+        if native.available():
+            return native.msm(list(scalars), list(bases))
     if len(bases) <= 8:
         return msm_naive(scalars, bases)
 

@@ -147,15 +147,72 @@ class AffinePoint:
         return self.add(other.neg())
 
     def mul(self, k: int) -> "AffinePoint":
+        """Scalar multiplication via Jacobian double-and-add (one field
+        inversion total, not one per add)."""
         k %= self.curve.scalar.p
-        result = AffinePoint.identity(self.curve)
-        addend = self
-        while k:
-            if k & 1:
-                result = result.add(addend)
-            addend = addend.double()
-            k >>= 1
-        return result
+        if k == 0 or self.infinity:
+            return AffinePoint.identity(self.curve)
+        f = self.curve.base
+        p = f.p
+        # Jacobian accumulator (X, Y, Z); None = identity
+        acc = None
+        ax, ay = self.x, self.y
+        for bit in bin(k)[2:]:
+            if acc is not None:
+                X, Y, Z = acc
+                # dbl-2009-l (a = 0)
+                A = X * X % p
+                B = Y * Y % p
+                C = B * B % p
+                D = 2 * ((X + B) * (X + B) - A - C) % p
+                E = 3 * A % p
+                F = E * E % p
+                X3 = (F - 2 * D) % p
+                Y3 = (E * (D - X3) - 8 * C) % p
+                Z3 = 2 * Y * Z % p
+                acc = (X3, Y3, Z3) if Z3 else None
+            if bit == "1":
+                if acc is None:
+                    acc = (ax, ay, 1)
+                else:
+                    X1, Y1, Z1 = acc
+                    # madd-2007-bl (mixed add, Z2 = 1)
+                    Z1Z1 = Z1 * Z1 % p
+                    U2 = ax * Z1Z1 % p
+                    S2 = ay * Z1 % p * Z1Z1 % p
+                    if U2 == X1:
+                        if S2 != Y1:
+                            acc = None
+                            continue
+                        # doubling case
+                        X, Y, Z = acc
+                        A = X * X % p
+                        B = Y * Y % p
+                        C = B * B % p
+                        D = 2 * ((X + B) * (X + B) - A - C) % p
+                        E = 3 * A % p
+                        F = E * E % p
+                        X3 = (F - 2 * D) % p
+                        Y3 = (E * (D - X3) - 8 * C) % p
+                        Z3 = 2 * Y * Z % p
+                        acc = (X3, Y3, Z3) if Z3 else None
+                        continue
+                    H = (U2 - X1) % p
+                    HH = H * H % p
+                    I = 4 * HH % p
+                    J = H * I % p
+                    r = 2 * (S2 - Y1) % p
+                    V = X1 * I % p
+                    X3 = (r * r - J - 2 * V) % p
+                    Y3 = (r * (V - X3) - 2 * Y1 * J) % p
+                    Z3 = ((Z1 + H) * (Z1 + H) - Z1Z1 - HH) % p
+                    acc = (X3, Y3, Z3) if Z3 else None
+        if acc is None:
+            return AffinePoint.identity(self.curve)
+        X, Y, Z = acc
+        zinv = f.inv(Z)
+        zinv2 = zinv * zinv % p
+        return AffinePoint(self.curve, X * zinv2 % p, Y * zinv2 % p * zinv % p)
 
     # --- serialization ---
 

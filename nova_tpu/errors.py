@@ -25,6 +25,21 @@ class UnSatError(NovaError):
         self.reason = reason
 
 
+class InvalidInitialInputLengthError(NovaError):
+    """z0 length differs from the step circuit arity
+    (NovaError::InvalidInitialInputLength)."""
+
+
+class InvalidStepOutputLengthError(NovaError):
+    """Step circuit returned the wrong number of outputs
+    (NovaError::InvalidStepOutputLength)."""
+
+
+class InvalidStepCircuitIOError(NovaError):
+    """Augmented circuit did not produce exactly 2 public IO values
+    (NovaError::InvalidStepCircuitIO)."""
+
+
 class ProofVerifyError(NovaError):
     """A proof failed verification (NovaError::ProofVerifyError)."""
 

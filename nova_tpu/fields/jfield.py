@@ -215,41 +215,47 @@ class JField:
     def mont_mul(self, a, b):
         """Montgomery product: a·b·R^{-1} mod p on (..., 16) uint32.
 
-        Phase 1 (schoolbook product): one outer product + two anti-diagonal
-        sums. Column sums stay < 2^21 (32 terms < 2^16), no carries needed.
+        All intermediates are per-column (...,)-shaped vectors (Python lists
+        of columns), never (..., 16, 16) or (..., 33) tensors: on TPU the
+        batch axis then lives in the 128-lane dimension and XLA fuses the
+        whole chain elementwise, instead of tiling tiny limb axes (which
+        pads T(8,128) registers 8x and made the earlier outer-product +
+        dynamic-update-slice formulation memory-bound).
+
+        Phase 1 (schoolbook product): 256 unrolled mul-adds into 33 columns.
+        Column sums stay < 2^21 (32 terms < 2^16), no carries needed.
         Phase 2 (Montgomery reduction): 16 sequential limb steps, each a
         handful of vector ops. Result < 2p, fixed by conditional subtract.
         """
         n = NUM_LIMBS
-        prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) exact
-        lo_sums = self._diag_sums(prod & MASK)  # (..., 32)
-        hi_sums = self._diag_sums(prod >> LIMB_BITS)
-        zero_col = jnp.zeros_like(lo_sums[..., :1])
-        cols = (
-            jnp.concatenate([lo_sums, zero_col], axis=-1)
-            + jnp.concatenate([zero_col, hi_sums], axis=-1)
-        )  # (..., 33)
-
-        p_l = jnp.asarray(self.p_limbs)  # (16,)
-        n0 = self.n0inv
-        carry = jnp.zeros_like(cols[..., 0])
-        acc = cols
+        al, bl = _split(a), _split(b)
+        zero = jnp.zeros_like(al[0])
+        cols = [zero] * (2 * n + 1)
         for i in range(n):
-            t = acc[..., i] + carry
+            ai = al[i]
+            for j in range(n):
+                t = ai * bl[j]  # < 2^32, exact in uint32
+                cols[i + j] = cols[i + j] + (t & MASK)
+                cols[i + j + 1] = cols[i + j + 1] + (t >> LIMB_BITS)
+
+        p_l = self.p_limbs  # python ints
+        n0 = self.n0inv
+        carry = zero
+        for i in range(n):
+            t = cols[i] + carry
             m = (t * n0) & MASK
-            pm = m[..., None] * p_l  # (..., 16)
-            pm_lo = pm & MASK
-            pm_hi = pm >> LIMB_BITS
-            tmp = t + pm_lo[..., 0]
-            carry = (tmp >> LIMB_BITS) + pm_hi[..., 0]
-            if i + 1 < n + 1:
-                acc = acc.at[..., i + 1 : i + n].add(pm_lo[..., 1:])
-                acc = acc.at[..., i + 2 : i + n + 1].add(pm_hi[..., 1:])
-        # result = acc[n..2n] + carry chain; total value < 2p
+            pm0 = m * jnp.uint32(p_l[0])
+            tmp = t + (pm0 & MASK)
+            carry = (tmp >> LIMB_BITS) + (pm0 >> LIMB_BITS)
+            for j in range(1, n):
+                pj = m * jnp.uint32(p_l[j])
+                cols[i + j] = cols[i + j] + (pj & MASK)
+                cols[i + j + 1] = cols[i + j + 1] + (pj >> LIMB_BITS)
+        # result = cols[n..2n] + carry chain; total value < 2p
         limbs = []
         c = carry
         for k in range(n, 2 * n):
-            v = acc[..., k] + c
+            v = cols[k] + c
             limbs.append(v & MASK)
             c = v >> LIMB_BITS
         overflow = c  # 0 or 1 since value < 2p < 2^258

@@ -43,8 +43,9 @@ def alloc_constant(cs: ConstraintSystem, c: int) -> AllocatedNum:
 
 def alloc_scalar_as_base(cs: ConstraintSystem, scalar_value: Optional[int]) -> AllocatedNum:
     """Allocate a scalar-field value in a base-field circuit (bit-copy;
-    utils.rs:56-78)."""
-    v = None if scalar_value is None else scalar_value % cs.field.p
+    utils.rs:56-78). None defaults to zero (unwrap_or(ZERO) in the
+    reference), so optional base-case inputs still synthesize witnesses."""
+    v = 0 if scalar_value is None else scalar_value % cs.field.p
     return AllocatedNum.alloc(cs, v)
 
 

@@ -1,0 +1,225 @@
+"""ctypes bindings for the C++ host kernels (native/nova_native.cpp).
+
+Compiled on demand with g++ (cached .so). All boundary values are
+numpy (n, 4) uint64 little-endian limb arrays in normal (non-Montgomery)
+form. Falls back gracefully: `available()` returns False if the toolchain
+or compile fails, and callers keep their pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "nova_native.cpp")
+_SO = os.path.join(_HERE, "_nova_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_ctx_cache: dict = {}
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SRC):
+        return None
+    if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-fno-exceptions", "-fomit-frame-pointer",
+            _SRC, "-o", _SO + ".tmp",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            os.replace(_SO + ".tmp", _SO)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ctx_new.restype = ctypes.c_void_p
+    lib.ctx_new.argtypes = [u64p]
+    lib.ctx_free.argtypes = [ctypes.c_void_p]
+    for name, extra in [
+        ("vec_mulmod", [u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_addmod", [u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_submod", [u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_axpy", [u64p, u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_invmod", [u64p, u64p, ctypes.c_size_t]),
+        ("msm", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
+        ("ec_fold", [u64p, u64p, u8p, u64p, u64p, u8p, u64p, u64p,
+                     ctypes.c_size_t, u64p, u64p, u8p]),
+        ("ec_scale", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
+        ("ec_mul_many", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.c_void_p] + extra
+    return lib
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None:
+        with _lib_lock:
+            if _lib is None:
+                _lib = _build() or False
+    return _lib or None
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _ctx(p: int):
+    lib = _get_lib()
+    if lib is None:
+        return None
+    key = p
+    if key not in _ctx_cache:
+        limbs = ints_to_limbs([p])
+        _ctx_cache[key] = lib.ctx_new(_ptr64(limbs))
+    return _ctx_cache[key]
+
+
+# -- conversions --------------------------------------------------------------
+
+def ints_to_limbs(vals: Sequence[int]) -> np.ndarray:
+    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(buf, dtype="<u8").reshape(len(vals), 4).copy()
+
+
+def limbs_to_ints(arr: np.ndarray) -> List[int]:
+    b = arr.astype("<u8").tobytes()
+    return [int.from_bytes(b[32 * i : 32 * (i + 1)], "little") for i in range(arr.shape[0])]
+
+
+def _ptr64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _ptr8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _points_to_arrays(points) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    xs = ints_to_limbs([p.x for p in points])
+    ys = ints_to_limbs([p.y for p in points])
+    inf = np.array([1 if p.infinity else 0 for p in points], dtype=np.uint8)
+    return xs, ys, inf
+
+
+def _arrays_to_points(curve, ox, oy, oinf):
+    from nova_tpu.curves.spec import AffinePoint
+
+    xs = limbs_to_ints(ox)
+    ys = limbs_to_ints(oy)
+    return [
+        AffinePoint.identity(curve) if oinf[i] else AffinePoint(curve, xs[i], ys[i])
+        for i in range(len(xs))
+    ]
+
+
+# -- public ops ---------------------------------------------------------------
+
+def msm(scalars: Sequence[int], points) -> "AffinePoint":
+    """Host Pippenger MSM in C++ (normal-form ints in/out)."""
+    from nova_tpu.curves.spec import AffinePoint
+
+    curve = points[0].curve
+    ctx = _ctx(curve.base.p)
+    lib = _get_lib()
+    n = len(points)
+    assert len(scalars) == n
+    xs, ys, inf = _points_to_arrays(points)
+    ks = ints_to_limbs([s % curve.scalar.p for s in scalars])
+    ox = np.zeros(4, dtype=np.uint64)
+    oy = np.zeros(4, dtype=np.uint64)
+    oinf = np.zeros(1, dtype=np.uint8)
+    lib.msm(ctx, _ptr64(xs), _ptr64(ys), _ptr8(inf), _ptr64(ks), n,
+            _ptr64(ox), _ptr64(oy), _ptr8(oinf))
+    if oinf[0]:
+        return AffinePoint.identity(curve)
+    return AffinePoint(
+        curve,
+        int.from_bytes(ox.astype("<u8").tobytes(), "little"),
+        int.from_bytes(oy.astype("<u8").tobytes(), "little"),
+    )
+
+
+def ec_fold(L, R, w1: int, w2: int):
+    """[w1*L_i + w2*R_i] for commitment-key folding."""
+    curve = L[0].curve
+    ctx = _ctx(curve.base.p)
+    lib = _get_lib()
+    n = len(L)
+    lx, ly, li = _points_to_arrays(L)
+    rx, ry, ri = _points_to_arrays(R)
+    w1a = ints_to_limbs([w1 % curve.scalar.p])
+    w2a = ints_to_limbs([w2 % curve.scalar.p])
+    ox = np.zeros((n, 4), dtype=np.uint64)
+    oy = np.zeros((n, 4), dtype=np.uint64)
+    oinf = np.zeros(n, dtype=np.uint8)
+    lib.ec_fold(ctx, _ptr64(lx), _ptr64(ly), _ptr8(li), _ptr64(rx), _ptr64(ry),
+                _ptr8(ri), _ptr64(w1a), _ptr64(w2a), n, _ptr64(ox), _ptr64(oy),
+                _ptr8(oinf))
+    return _arrays_to_points(curve, ox, oy, oinf)
+
+
+def ec_scale(points, k: int):
+    curve = points[0].curve
+    ctx = _ctx(curve.base.p)
+    lib = _get_lib()
+    n = len(points)
+    xs, ys, inf = _points_to_arrays(points)
+    ka = ints_to_limbs([k % curve.scalar.p])
+    ox = np.zeros((n, 4), dtype=np.uint64)
+    oy = np.zeros((n, 4), dtype=np.uint64)
+    oinf = np.zeros(n, dtype=np.uint8)
+    lib.ec_scale(ctx, _ptr64(xs), _ptr64(ys), _ptr8(inf), _ptr64(ka), n,
+                 _ptr64(ox), _ptr64(oy), _ptr8(oinf))
+    return _arrays_to_points(curve, ox, oy, oinf)
+
+
+def ec_mul_many(points, scalars: Sequence[int]):
+    curve = points[0].curve
+    ctx = _ctx(curve.base.p)
+    lib = _get_lib()
+    n = len(points)
+    xs, ys, inf = _points_to_arrays(points)
+    ks = ints_to_limbs([s % curve.scalar.p for s in scalars])
+    ox = np.zeros((n, 4), dtype=np.uint64)
+    oy = np.zeros((n, 4), dtype=np.uint64)
+    oinf = np.zeros(n, dtype=np.uint8)
+    lib.ec_mul_many(ctx, _ptr64(xs), _ptr64(ys), _ptr8(inf), _ptr64(ks), n,
+                    _ptr64(ox), _ptr64(oy), _ptr8(oinf))
+    return _arrays_to_points(curve, ox, oy, oinf)
+
+
+def vec_mulmod(p: int, a: Sequence[int], b: Sequence[int]) -> List[int]:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = len(a)
+    aa = ints_to_limbs([x % p for x in a])
+    bb = ints_to_limbs([x % p for x in b])
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vec_mulmod(ctx, _ptr64(aa), _ptr64(bb), _ptr64(out), n)
+    return limbs_to_ints(out)
+
+
+def vec_invmod(p: int, a: Sequence[int]) -> List[int]:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = len(a)
+    aa = ints_to_limbs([x % p for x in a])
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vec_invmod(ctx, _ptr64(aa), _ptr64(out), n)
+    return limbs_to_ints(out)

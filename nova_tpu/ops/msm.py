@@ -100,11 +100,11 @@ def digits_for_windows(limbs16: np.ndarray, c: int, num_windows: int) -> np.ndar
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _window_bucket_sum(field_p: int, c: int, rounds: int, d, bx, by, binf):
+def _window_bucket_sum_body(jf, c: int, rounds: int, d, bx, by, binf):
     """One Pippenger window: returns the window sum as XYZZ (scalar point,
-    arrays of shape (16,))."""
-    jf = JField._instances[field_p]
+    arrays of shape (16,)). Pure traced body — vmapped over windows inside
+    the fused _msm_kernel."""
+    field_p = jf.spec.p
     n = d.shape[0]
     num_buckets = 1 << c
 
@@ -173,16 +173,69 @@ def _window_bucket_sum(field_p: int, c: int, rounds: int, d, bx, by, binf):
     return {k: v[0] for k, v in T.items()}
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _horner_step(field_p: int, c: int, acc, window_sum):
-    """acc = 2^c * acc + window_sum (as XYZZ scalars)."""
+# Peak-HBM budget in window-point units: each point in flight through the
+# sorted-combine phase costs ~13KB of fused temps (Montgomery product
+# columns), so 2^18 window-points ≈ 3.5GB — comfortably under a v5e's 16GB.
+_WINDOW_POINT_BUDGET = 1 << 18
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm_kernel(field_p: int, c: int, rounds: int, d_all, bx, by, binf):
+    """The FUSED MSM: one device dispatch per call.
+
+    Points are processed in chunks (lax.scan) so peak HBM stays bounded;
+    within a chunk all windows' bucket sums run concurrently (vmap; lax.map
+    for 2^16-bucket windows). A window's sum decomposes over point chunks,
+    so chunk partials combine with one batched point-add per chunk.
+
+    d_all: (W, N) uint32 digits. Returns (x, y, zz, zzz) each (16,) uint32
+    in standard (non-Montgomery) form.
+    """
     jf = JField._instances[field_p]
+    W, n = d_all.shape
 
-    def dbl(_, a):
-        return xyzz_double(jf, a)
+    chunk = max(1, _WINDOW_POINT_BUDGET // max(1, W))
+    chunk = min(chunk, n)
+    # n is a power of two (caller pads); keep chunk a power-of-two divisor
+    while n % chunk:
+        chunk //= 2
+    k = n // chunk
 
-    acc = jax.lax.fori_loop(0, c, dbl, acc)
-    return xyzz_add(jf, acc, window_sum)
+    d_k = d_all.reshape(W, k, chunk).transpose(1, 0, 2)  # (K, W, C)
+    bx_k = bx.reshape(k, chunk, NUM_LIMBS)
+    by_k = by.reshape(k, chunk, NUM_LIMBS)
+    binf_k = binf.reshape(k, chunk)
+
+    def per_chunk(carry, inp):
+        d_c, bx_c, by_c, binf_c = inp
+
+        def one_window(d):
+            return _window_bucket_sum_body(jf, c, rounds, d, bx_c, by_c, binf_c)
+
+        if c <= 10:
+            pts = jax.vmap(one_window)(d_c)  # dict of (W, 16)
+        else:
+            # 2^c-bucket tables are large; keep one window's table live
+            pts = jax.lax.map(one_window, d_c)
+        return xyzz_add(jf, carry, pts), None
+
+    acc0 = xyzz_zero(jf, jnp.zeros((W, NUM_LIMBS), jnp.uint32))
+    window_pts, _ = jax.lax.scan(per_chunk, acc0, (d_k, bx_k, by_k, binf_k))
+
+    # Horner from the top window down: acc = 2^c * acc + W_w
+    rev = {k2: v[::-1] for k2, v in window_pts.items()}
+    acc0 = xyzz_zero(jf, jnp.zeros((NUM_LIMBS,), jnp.uint32))
+
+    def horner(acc, ws):
+        def dbl(_, a):
+            return xyzz_double(jf, a)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        return xyzz_add(jf, acc, ws), None
+
+    final, _ = jax.lax.scan(horner, acc0, rev)
+    out = {k2: jf.from_mont(v.reshape(1, NUM_LIMBS))[0] for k2, v in final.items()}
+    return out["x"], out["y"], out["zz"], out["zzz"]
 
 
 def msm_device(
@@ -220,25 +273,28 @@ def msm_device(
     num_windows = (num_bits + window - 1) // window
 
     digits = digits_for_windows(limbs, window, num_windows)
-    # rounds: enough to cover the largest bucket in any window
+    # rounds must cover the largest bucket load. Quantize to an even count
+    # so the jit signature takes few distinct values (compile-cache reuse)
     max_load = 1
     for w in range(num_windows):
-        counts = np.bincount(digits[w], minlength=1)
+        counts = np.bincount(digits[w])
         if counts.size > 1:
             max_load = max(max_load, int(counts[1:].max(initial=1)))
-        max_load = max(max_load, 1)
-    rounds = max(1, int(np.ceil(np.log2(max_load))) if max_load > 1 else 1)
+    rounds = max(2, int(np.ceil(np.log2(max_load))) if max_load > 1 else 2)
+    rounds = min(((rounds + 1) // 2) * 2, max(1, n_pad.bit_length() - 1))
 
-    acc = None
     d_dev = jnp.asarray(digits)
-    for w in range(num_windows - 1, -1, -1):
-        ws = _window_bucket_sum(jf.spec.p, window, rounds, d_dev[w], bx, by, binf)
-        if acc is None:
-            acc = ws
-        else:
-            acc = _horner_step(jf.spec.p, window, acc, ws)
+    x, y, zz, zzz = _msm_kernel(jf.spec.p, window, rounds, d_dev, bx, by, binf)
+    # one synchronous host transfer; exact affine conversion on host ints
+    xv = _limbs16_to_int(np.asarray(jax.device_get(x)))
+    yv = _limbs16_to_int(np.asarray(jax.device_get(y)))
+    zzv = _limbs16_to_int(np.asarray(jax.device_get(zz)))
+    zzzv = _limbs16_to_int(np.asarray(jax.device_get(zzz)))
+    f = curve.base
+    if zzv == 0:
+        return AffinePoint.identity(curve)
+    return AffinePoint(curve, f.mul(xv, f.inv(zzv)), f.mul(yv, f.inv(zzzv)))
 
-    pt = xyzz_to_affine_host(
-        jf, {k: v.reshape(1, NUM_LIMBS) for k, v in acc.items()}, curve
-    )[0]
-    return pt
+
+def _limbs16_to_int(row: np.ndarray) -> int:
+    return int.from_bytes(row.astype(np.uint16).astype("<u2").tobytes(), "little")

@@ -1,0 +1,215 @@
+"""Bulletproofs-style inner-product argument evaluation engine
+(reference: src/provider/ipa_pc.rs).
+
+Proves eval = <poly, eq(point, .)> against a Pedersen commitment via
+log-round halving; verification uses the tensor-structured vector s to do
+a single MSM instead of replaying folds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+from nova_tpu.errors import InvalidInputLengthError, ProofVerifyError
+from nova_tpu.fields.spec import FieldSpec
+from nova_tpu.provider.pedersen import Commitment, CommitmentEngine, CommitmentKey
+from nova_tpu.spartan import batch_invert
+from nova_tpu.spartan.polys import EqPolynomial
+
+
+@dataclass
+class IPAProverKey:
+    ck_s: CommitmentKey
+
+
+@dataclass
+class IPAVerifierKey:
+    ck_v: CommitmentKey
+    ck_s: CommitmentKey
+
+
+class InnerProductInstance:
+    def __init__(self, comm_a_vec: Commitment, b_vec: List[int], c: int):
+        self.comm_a_vec = comm_a_vec
+        self.b_vec = b_vec
+        self.c = c
+
+    def to_transcript_bytes(self, field: FieldSpec) -> bytes:
+        # b_vec is excluded: it is derived from the transcript
+        return self.comm_a_vec.to_transcript_bytes() + field.to_repr(self.c % field.p)
+
+
+def _inner_product(field: FieldSpec, a: Sequence[int], b: Sequence[int]) -> int:
+    assert len(a) == len(b)
+    return sum(x * y for x, y in zip(a, b)) % field.p
+
+
+class InnerProductArgument:
+    """L_vec/R_vec halving rounds + final folded scalar
+    (src/provider/ipa_pc.rs:158-390)."""
+
+    def __init__(self, L_vec: List[Commitment], R_vec: List[Commitment], a_hat: int):
+        self.L_vec = L_vec
+        self.R_vec = R_vec
+        self.a_hat = a_hat
+
+    @staticmethod
+    def prove(
+        field: FieldSpec,
+        ck: CommitmentKey,
+        ck_c: CommitmentKey,
+        U: InnerProductInstance,
+        a_vec: List[int],
+        transcript,
+    ) -> "InnerProductArgument":
+        p = field.p
+        transcript.dom_sep(b"IPA")
+        ck, _ = ck.split_at(len(U.b_vec))
+        if len(U.b_vec) != len(a_vec):
+            raise InvalidInputLengthError()
+
+        transcript.absorb(b"U", U.to_transcript_bytes(field))
+        r = transcript.squeeze(b"r")
+        ck_c = ck_c.scale(r)
+
+        L_vec: List[Commitment] = []
+        R_vec: List[Commitment] = []
+        a_vec = [x % p for x in a_vec]
+        b_vec = [x % p for x in U.b_vec]
+
+        rounds = (len(U.b_vec)).bit_length() - 1
+        for _ in range(rounds):
+            n = len(a_vec)
+            ck_L, ck_R = ck.split_at(n // 2)
+            c_L = _inner_product(field, a_vec[: n // 2], b_vec[n // 2:])
+            c_R = _inner_product(field, a_vec[n // 2:], b_vec[: n // 2])
+            L = CommitmentEngine.commit(ck_R.combine(ck_c), a_vec[: n // 2] + [c_L], 0)
+            R = CommitmentEngine.commit(ck_L.combine(ck_c), a_vec[n // 2:] + [c_R], 0)
+            transcript.absorb(b"L", L)
+            transcript.absorb(b"R", R)
+            r_i = transcript.squeeze(b"r")
+            r_inv = field.inv(r_i)
+            a_vec = [
+                (aL * r_i + r_inv * aR) % p
+                for aL, aR in zip(a_vec[: n // 2], a_vec[n // 2:])
+            ]
+            b_vec = [
+                (bL * r_inv + r_i * bR) % p
+                for bL, bR in zip(b_vec[: n // 2], b_vec[n // 2:])
+            ]
+            ck = ck.fold(r_inv, r_i)
+            L_vec.append(L)
+            R_vec.append(R)
+
+        return InnerProductArgument(L_vec, R_vec, a_vec[0])
+
+    def verify(
+        self,
+        field: FieldSpec,
+        ck: CommitmentKey,
+        ck_c: CommitmentKey,
+        n: int,
+        U: InnerProductInstance,
+        transcript,
+    ) -> None:
+        p = field.p
+        ck, _ = ck.split_at(len(U.b_vec))
+        transcript.dom_sep(b"IPA")
+        if (
+            len(U.b_vec) != n
+            or n != (1 << len(self.L_vec))
+            or len(self.L_vec) != len(self.R_vec)
+            or len(self.L_vec) >= 32
+        ):
+            raise InvalidInputLengthError()
+
+        transcript.absorb(b"U", U.to_transcript_bytes(field))
+        r = transcript.squeeze(b"r")
+        ck_c = ck_c.scale(r)
+
+        P = Commitment(
+            U.comm_a_vec.point.add(
+                CommitmentEngine.commit(ck_c, [U.c], 0).point
+            )
+        )
+
+        rs: List[int] = []
+        for L, R in zip(self.L_vec, self.R_vec):
+            transcript.absorb(b"L", L)
+            transcript.absorb(b"R", R)
+            rs.append(transcript.squeeze(b"r"))
+
+        r_sq = [x * x % p for x in rs]
+        r_inv = batch_invert(field, rs)
+        r_inv_sq = [x * x % p for x in r_inv]
+
+        # tensor-structure vector s
+        s = [0] * n
+        v = 1
+        for x in r_inv:
+            v = v * x % p
+        s[0] = v
+        for i in range(1, n):
+            pos = i.bit_length() - 1
+            s[i] = s[i - (1 << pos)] * r_sq[len(self.L_vec) - 1 - pos] % p
+
+        ck_hat_point = CommitmentEngine.commit(ck, s, 0).point
+        b_hat = _inner_product(field, U.b_vec, s)
+
+        # P_hat = sum r_i^2 L_i + sum r_i^-2 R_i + P
+        pt = None
+        for w, L in zip(r_sq, self.L_vec):
+            t = L.point.mul(w)
+            pt = t if pt is None else pt.add(t)
+        for w, R in zip(r_inv_sq, self.R_vec):
+            pt = pt.add(R.point.mul(w))
+        P_hat = pt.add(P.point)
+
+        rhs = ck_hat_point.mul(self.a_hat).add(
+            ck_c.ck[0].mul(self.a_hat * b_hat % p)
+        )
+        if P_hat != rhs:
+            raise ProofVerifyError("IPA verification failed")
+
+
+class EvaluationEngine:
+    """EvaluationEngineTrait over Pedersen (src/provider/ipa_pc.rs:39-102)."""
+
+    @staticmethod
+    def setup(engine, ck: CommitmentKey) -> Tuple[IPAProverKey, IPAVerifierKey]:
+        from nova_tpu.provider.pedersen import CommitmentEngine as CE
+
+        ck_c = CE.setup(engine.curve, b"ipa", 1)
+        return IPAProverKey(ck_c), IPAVerifierKey(ck, ck_c)
+
+    @staticmethod
+    def prove(
+        engine,
+        ck: CommitmentKey,
+        pk: IPAProverKey,
+        transcript,
+        comm: Commitment,
+        poly: List[int],
+        point: List[int],
+        eval_v: int,
+    ) -> InnerProductArgument:
+        field = engine.scalar
+        b_vec = EqPolynomial.evals_from_points(field, list(point))
+        U = InnerProductInstance(comm, b_vec, eval_v)
+        return InnerProductArgument.prove(field, ck, pk.ck_s, U, list(poly), transcript)
+
+    @staticmethod
+    def verify(
+        engine,
+        vk: IPAVerifierKey,
+        transcript,
+        comm: Commitment,
+        point: List[int],
+        eval_v: int,
+        arg: InnerProductArgument,
+    ) -> None:
+        field = engine.scalar
+        b_vec = EqPolynomial.evals_from_points(field, list(point))
+        U = InnerProductInstance(comm, b_vec, eval_v)
+        arg.verify(field, vk.ck_v, vk.ck_s, 1 << len(point), U, transcript)

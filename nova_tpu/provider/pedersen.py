@@ -67,6 +67,18 @@ class CommitmentKey:
     def __len__(self):
         return len(self.ck)
 
+    def device_bases(self, n: int):
+        """Marshalled-to-device generators, cached (bases are reused across
+        every commit with this key, so pay the host->device packing once)."""
+        from nova_tpu.ops.msm import DeviceBases
+
+        db = getattr(self, "_device_bases", None)
+        if db is None or db.n < n:
+            n_pad = 1 if n <= 1 else 1 << (n - 1).bit_length()
+            db = DeviceBases(self.curve, self.ck[: min(n_pad, len(self.ck))])
+            object.__setattr__(self, "_device_bases", db)
+        return db
+
     # split/combine/fold/scale for IPA (CommitmentKeyExtTrait,
     # src/provider/pedersen.rs:431-529)
     def split_at(self, n: int):
@@ -81,10 +93,19 @@ class CommitmentKey:
     def fold(self, w1: int, w2: int) -> "CommitmentKey":
         half = len(self.ck) // 2
         L, R = self.ck[:half], self.ck[half:]
-        ck = [l.mul(w1).add(r.mul(w2)) for l, r in zip(L, R)]
+        from nova_tpu import native
+
+        if native.available() and half > 0:
+            ck = native.ec_fold(L, R, w1, w2)
+        else:
+            ck = [l.mul(w1).add(r.mul(w2)) for l, r in zip(L, R)]
         return CommitmentKey(self.curve, ck, self.h)
 
     def scale(self, r: int) -> "CommitmentKey":
+        from nova_tpu import native
+
+        if native.available() and len(self.ck) > 1:
+            return CommitmentKey(self.curve, native.ec_scale(self.ck, r), self.h)
         return CommitmentKey(self.curve, [g.mul(r) for g in self.ck], self.h)
 
 
@@ -200,7 +221,7 @@ class CommitmentEngine:
         elif len(v) >= DEVICE_THRESHOLD:
             from nova_tpu.ops.msm import msm_device
 
-            acc = msm_device(list(v), ck.ck[: len(v)])
+            acc = msm_device(list(v), device_bases=ck.device_bases(len(v)))
         else:
             acc = host_msm(list(v), ck.ck[: len(v)])
         if r:

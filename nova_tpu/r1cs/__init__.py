@@ -14,7 +14,7 @@ import secrets
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
-from nova_tpu.constants import BN_LIMB_WIDTH, BN_N_LIMBS
+from nova_tpu.constants import BN_LIMB_WIDTH, BN_N_LIMBS, DEVICE_THRESHOLD
 from nova_tpu.errors import (
     InvalidIndexError,
     InvalidInputLengthError,
@@ -148,7 +148,7 @@ class R1CSShape:
     def multiply_vec(self, z: Sequence[int]):
         if len(z) != self.num_io + self.num_vars + 1:
             raise InvalidWitnessLengthError()
-        if self.num_cons >= 1 << 12:
+        if self.num_cons >= DEVICE_THRESHOLD:
             from nova_tpu.ops.spmv import multiply_vec_device
 
             return multiply_vec_device(self, z)
@@ -366,7 +366,7 @@ class RelaxedR1CSWitness:
         if len(self.W) != len(W2.W):
             raise InvalidWitnessLengthError()
         p = field.p
-        if len(self.W) >= 1 << 13:
+        if len(self.W) >= DEVICE_THRESHOLD:
             from nova_tpu.ops.fold import fold_witness_device
 
             W, E = fold_witness_device(field, self.W, W2.W, self.E, T, r)
@@ -416,6 +416,12 @@ class RelaxedR1CSInstance:
         return RelaxedR1CSInstance(
             instance.comm_W, Commitment.default(curve), list(instance.X), 1
         )
+
+    @staticmethod
+    def from_r1cs_instance_unchecked(curve, S, comm_W: Commitment, X):
+        """src/r1cs/mod.rs: build directly from a commitment and IO (no
+        shape checks); used by DirectSNARK."""
+        return RelaxedR1CSInstance(comm_W, Commitment.default(curve), list(X), 1)
 
     def fold(self, field: FieldSpec, U2: R1CSInstance, comm_T: Commitment, r: int):
         """src/r1cs/mod.rs:1182-1208."""

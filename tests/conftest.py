@@ -4,9 +4,18 @@ separately dry-runs the multi-chip path; see __graft_entry__.py)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the ambient environment may preset JAX_PLATFORMS
+# to a real accelerator, but the suite needs the 8-device virtual CPU mesh
+# and must not depend on remote hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The env var alone does not always win over ambient accelerator plugins;
+# the config update does.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

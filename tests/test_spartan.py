@@ -1,0 +1,186 @@
+"""Spartan layer tests: polys, sumcheck, IPA, snark on the tiny cubic R1CS
+(reference test strategy: src/spartan/snark.rs tests, src/spartan/direct.rs:259+,
+src/provider/ipa_pc.rs tests)."""
+
+import random
+
+import pytest
+
+from nova_tpu.provider.engines import PallasEngine, Bn256EngineIPA
+from nova_tpu.provider.ipa import EvaluationEngine as IPA
+from nova_tpu.provider.pedersen import CommitmentEngine as CE
+from nova_tpu.r1cs import RelaxedR1CSInstance, RelaxedR1CSWitness
+from nova_tpu.spartan import (
+    PolyEvalInstance,
+    PolyEvalWitness,
+    batch_eval_reduce,
+    batch_eval_verify,
+    batch_invert,
+    powers,
+)
+from nova_tpu.spartan.polys import (
+    EqPolynomial,
+    MultilinearPolynomial,
+    SparsePolynomial,
+    UniPoly,
+)
+from nova_tpu.spartan.snark import RelaxedR1CSSNARK
+from nova_tpu.spartan.sumcheck import SumcheckProof
+
+from test_nifs import satisfying_pair, tiny_r1cs
+
+ENGINES = [PallasEngine, Bn256EngineIPA]
+rng = random.Random(0x5EED)
+
+
+def rand(f):
+    return rng.randrange(f.p)
+
+
+@pytest.mark.parametrize("engine", ENGINES, ids=lambda e: e.name)
+def test_eq_poly_table_matches_pointwise(engine):
+    f = engine.scalar
+    r = [rand(f) for _ in range(4)]
+    tab = EqPolynomial.evals_from_points(f, r)
+    for x in range(16):
+        xv = [(x >> (3 - i)) & 1 for i in range(4)]
+        assert tab[x] == EqPolynomial(f, r).evaluate(xv)
+
+
+def test_multilinear_bind_evaluate_consistency():
+    f = PallasEngine.scalar
+    Z = [rand(f) for _ in range(16)]
+    point = [rand(f) for _ in range(4)]
+    direct = MultilinearPolynomial.evaluate_with(f, Z, point)
+    poly = MultilinearPolynomial(f, Z)
+    for r in point:
+        poly.bind_poly_var_top(r)
+    assert poly.Z[0] == direct
+
+
+def test_sparse_polynomial_matches_dense():
+    f = PallasEngine.scalar
+    vals = [rand(f) for _ in range(3)]
+    dense = vals + [0] * 13
+    point = [rand(f) for _ in range(4)]
+    assert SparsePolynomial(f, 4, vals).evaluate(point) == (
+        MultilinearPolynomial.evaluate_with(f, dense, point)
+    )
+
+
+def test_unipoly_compress_roundtrip():
+    f = PallasEngine.scalar
+    poly = UniPoly(f, [rand(f) for _ in range(4)])
+    hint = (poly.eval_at_zero() + poly.eval_at_one()) % f.p
+    back = poly.compress().decompress(hint)
+    assert back.coeffs == poly.coeffs
+
+
+def test_batch_invert():
+    f = PallasEngine.scalar
+    v = [rand(f) for _ in range(33)]
+    inv = batch_invert(f, v)
+    for a, b in zip(v, inv):
+        assert a * b % f.p == 1
+
+
+def test_sumcheck_quad_prod():
+    f = PallasEngine.scalar
+    n = 3
+    A = [rand(f) for _ in range(8)]
+    B = [rand(f) for _ in range(8)]
+    claim = sum(a * b for a, b in zip(A, B)) % f.p
+    t = PallasEngine.new_transcript(b"t")
+    proof, r, finals = SumcheckProof.prove_quad_prod(
+        f, claim, n, MultilinearPolynomial(f, A), MultilinearPolynomial(f, B), t
+    )
+    t2 = PallasEngine.new_transcript(b"t")
+    e, r2 = proof.verify(f, claim, n, 2, t2)
+    assert r == r2
+    assert e == finals[0] * finals[1] % f.p
+    assert finals[0] == MultilinearPolynomial.evaluate_with(f, A, r)
+
+
+def test_sumcheck_cubic_three_inputs():
+    f = PallasEngine.scalar
+    taus = [rand(f) for _ in range(3)]
+    A = [rand(f) for _ in range(8)]
+    B = [rand(f) for _ in range(8)]
+    # choose C so that the claim is zero: C = A*B pointwise
+    C = [a * b % f.p for a, b in zip(A, B)]
+    t = PallasEngine.new_transcript(b"t")
+    proof, r, finals = SumcheckProof.prove_cubic_with_three_inputs(
+        f, 0, taus,
+        MultilinearPolynomial(f, A),
+        MultilinearPolynomial(f, B),
+        MultilinearPolynomial(f, C),
+        t,
+    )
+    t2 = PallasEngine.new_transcript(b"t")
+    e, r2 = proof.verify(f, 0, 3, 3, t2)
+    assert r == r2
+    eq_r = EqPolynomial(f, taus).evaluate(r)
+    assert e == eq_r * ((finals[0] * finals[1] - finals[2]) % f.p) % f.p
+
+
+def test_batch_eval_reduce_and_verify():
+    engine = PallasEngine
+    f = engine.scalar
+    ck = CE.setup(engine.curve, b"batch", 16)
+    P1 = [rand(f) for _ in range(16)]
+    P2 = [rand(f) for _ in range(4)]
+    x1 = [rand(f) for _ in range(4)]
+    x2 = [rand(f) for _ in range(2)]
+    e1 = MultilinearPolynomial.evaluate_with(f, P1, x1)
+    e2 = MultilinearPolynomial.evaluate_with(f, P2, x2)
+    c1 = CE.commit(ck, P1, 0)
+    c2 = CE.commit(ck, P2, 0)
+    u_vec = [PolyEvalInstance(c1, x1, e1), PolyEvalInstance(c2, x2, e2)]
+    w_vec = [PolyEvalWitness(P1), PolyEvalWitness(P2)]
+    t = engine.new_transcript(b"b")
+    bu, bw, _c, scp, evals = batch_eval_reduce(f, u_vec, w_vec, t)
+    # prover-side consistency
+    assert MultilinearPolynomial.evaluate_with(f, bw.p, bu.x) == bu.e
+    assert CE.commit(ck, bw.p, 0).point == bu.c.point
+    # verifier side replays to the same joint instance
+    t2 = engine.new_transcript(b"b")
+    u_vec2 = [PolyEvalInstance(c1, x1, e1), PolyEvalInstance(c2, x2, e2)]
+    bu2, _ = batch_eval_verify(f, u_vec2, t2, scp, evals)
+    assert bu2.e == bu.e and bu2.x == bu.x and bu2.c.point == bu.c.point
+
+
+@pytest.mark.parametrize("engine", ENGINES, ids=lambda e: e.name)
+def test_ipa_prove_verify(engine):
+    f = engine.scalar
+    ck = CE.setup(engine.curve, b"ipa-test", 16)
+    poly = [rand(f) for _ in range(16)]
+    point = [rand(f) for _ in range(4)]
+    ev = MultilinearPolynomial.evaluate_with(f, poly, point)
+    comm = CE.commit(ck, poly, 0)
+    pk, vk = IPA.setup(engine, ck)
+    t1 = engine.new_transcript(b"ipa")
+    arg = IPA.prove(engine, ck, pk, t1, comm, poly, point, ev)
+    t2 = engine.new_transcript(b"ipa")
+    IPA.verify(engine, vk, t2, comm, point, ev, arg)
+    # wrong eval must fail
+    t3 = engine.new_transcript(b"ipa")
+    with pytest.raises(Exception):
+        IPA.verify(engine, vk, t3, comm, point, (ev + 1) % f.p, arg)
+
+
+@pytest.mark.parametrize("engine", ENGINES, ids=lambda e: e.name)
+def test_spartan_snark_tiny(engine):
+    S = tiny_r1cs(engine)
+    ck = S.commitment_key(b"ck", 0)
+    U, W = satisfying_pair(engine, S, ck, 3)
+    rU = RelaxedR1CSInstance.from_r1cs_instance(engine.curve, S, U)
+    rW = RelaxedR1CSWitness.from_r1cs_witness(S, W)
+    drW, bW, bE = rW.derandomize()
+    drU = rU.derandomize(CE.derand_key(ck), bW, bE)
+    pk, vk = RelaxedR1CSSNARK.setup(engine, ck, S)
+    proof = RelaxedR1CSSNARK.prove(engine, ck, pk, S, drU, drW)
+    proof.verify(vk, drU)
+    # tampered instance must fail
+    bad = RelaxedR1CSInstance(drU.comm_W, drU.comm_E, list(drU.X), (drU.u + 1) % engine.scalar.p)
+    with pytest.raises(Exception):
+        proof.verify(vk, bad)
