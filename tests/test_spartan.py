@@ -184,3 +184,59 @@ def test_spartan_snark_tiny(engine):
     bad = RelaxedR1CSInstance(drU.comm_W, drU.comm_E, list(drU.X), (drU.u + 1) % engine.scalar.p)
     with pytest.raises(Exception):
         proof.verify(vk, bad)
+
+
+@pytest.mark.parametrize("engine", ENGINES, ids=lambda e: e.name)
+def test_ppsnark_tiny(engine):
+    from nova_tpu.spartan.ppsnark import RelaxedR1CSSNARK as PP
+
+    S = tiny_r1cs(engine)
+    ck = S.commitment_key(b"ck", PP.ck_floor(S))
+    U, W = satisfying_pair(engine, S, ck, 3)
+    rU = RelaxedR1CSInstance.from_r1cs_instance(engine.curve, S, U)
+    rW = RelaxedR1CSWitness.from_r1cs_witness(S, W)
+    drW, bW, bE = rW.derandomize()
+    drU = rU.derandomize(CE.derand_key(ck), bW, bE)
+    pk, vk = PP.setup(engine, ck, S)
+    proof = PP.prove(engine, ck, pk, S, drU, drW)
+    proof.verify(vk, drU)
+    # tampering any published eval must fail
+    proof.eval_L_row = (proof.eval_L_row + 1) % engine.scalar.p
+    with pytest.raises(Exception):
+        proof.verify(vk, drU)
+
+
+def test_direct_snark_cubic():
+    from nova_tpu.spartan.direct import DirectSNARK
+
+    class Cubic:
+        def arity(self):
+            return 1
+
+        def synthesize(self, cs, z):
+            from nova_tpu.frontend.constraint_system import ONE, lc
+            from nova_tpu.frontend.num import AllocatedNum
+
+            x = z[0]
+            x_sq = x.square(cs)
+            x_cu = x_sq.mul(cs, x)
+            f = cs.field
+            val = None
+            if x_cu.get_value() is not None:
+                val = (x_cu.get_value() + x.get_value() + 5) % f.p
+            y = AllocatedNum.alloc(cs, val)
+            cs.enforce(
+                lc((1, x_cu.get_variable()), (1, x.get_variable()), (5, ONE)),
+                lc((1, ONE)),
+                lc((1, y.get_variable())),
+            )
+            return [y]
+
+    engine = PallasEngine
+    pk, vk = DirectSNARK.setup(engine, Cubic())
+    snark = DirectSNARK.prove(engine, pk, Cubic(), [2])
+    f = engine.scalar
+    y = (2 ** 3 + 2 + 5) % f.p
+    snark.verify(engine, vk, [2, y])
+    with pytest.raises(Exception):
+        snark.verify(engine, vk, [2, (y + 1) % f.p])
