@@ -199,3 +199,71 @@ class Boolean:
     def or_(cs: ConstraintSystem, a: "Boolean", b: "Boolean") -> "Boolean":
         # not(and(not a, not b)) (boolean.rs:491-505)
         return Boolean.and_(cs, a.not_(), b.not_()).not_()
+
+
+def _bool_ch_value(a, b, c):
+    if a is None or b is None or c is None:
+        return None
+    return (a and b) ^ ((not a) and c)
+
+
+def _bool_maj_value(a, b, c):
+    if a is None or b is None or c is None:
+        return None
+    return (a and b) ^ (a and c) ^ (b and c)
+
+
+def sha256_ch(cs: ConstraintSystem, a: Boolean, b: Boolean, c: Boolean) -> Boolean:
+    """(a and b) xor ((not a) and c) — one constraint in the allocated case
+    (boolean.rs:508-616)."""
+    ch_value = _bool_ch_value(a.get_value(), b.get_value(), c.get_value())
+    if a.is_constant() and b.is_constant() and c.is_constant():
+        return Boolean.constant(ch_value)
+    if a.is_constant() and not a.const_val:
+        return c
+    if b.is_constant() and not b.const_val:
+        return Boolean.and_(cs, a.not_(), c)
+    if c.is_constant() and not c.const_val:
+        return Boolean.and_(cs, a, b)
+    if c.is_constant() and c.const_val:
+        return Boolean.and_(cs, a, b.not_()).not_()
+    if b.is_constant() and b.const_val:
+        return Boolean.and_(cs, a.not_(), c.not_()).not_()
+    # a constant-true falls through like the reference ("just continue")
+    ch = AllocatedBit(cs.alloc(None if ch_value is None else (1 if ch_value else 0)), ch_value)
+    # (b - c) * a = ch - c
+    cs.enforce(
+        b.lc(ONE, 1) - c.lc(ONE, 1),
+        a.lc(ONE, 1),
+        LinearCombination.from_variable(ch.get_variable()) - c.lc(ONE, 1),
+    )
+    return Boolean.from_bit(ch)
+
+
+def sha256_maj(cs: ConstraintSystem, a: Boolean, b: Boolean, c: Boolean) -> Boolean:
+    """(a and b) xor (a and c) xor (b and c) — two constraints
+    (boolean.rs:618-740)."""
+    maj_value = _bool_maj_value(a.get_value(), b.get_value(), c.get_value())
+    if a.is_constant() and b.is_constant() and c.is_constant():
+        return Boolean.constant(maj_value)
+    if a.is_constant() and not a.const_val:
+        return Boolean.and_(cs, b, c)
+    if b.is_constant() and not b.const_val:
+        return Boolean.and_(cs, a, c)
+    if c.is_constant() and not c.const_val:
+        return Boolean.and_(cs, a, b)
+    if c.is_constant() and c.const_val:
+        return Boolean.and_(cs, a.not_(), b.not_()).not_()
+    if b.is_constant() and b.const_val:
+        return Boolean.and_(cs, a.not_(), c.not_()).not_()
+    if a.is_constant() and a.const_val:
+        return Boolean.and_(cs, b.not_(), c.not_()).not_()
+    maj = AllocatedBit(cs.alloc(None if maj_value is None else (1 if maj_value else 0)), maj_value)
+    bc = Boolean.and_(cs, b, c)
+    # (2bc - b - c) * a = bc - maj
+    cs.enforce(
+        bc.lc(ONE, 1) + bc.lc(ONE, 1) - b.lc(ONE, 1) - c.lc(ONE, 1),
+        a.lc(ONE, 1),
+        bc.lc(ONE, 1) - (1, maj.get_variable()),
+    )
+    return Boolean.from_bit(maj)
