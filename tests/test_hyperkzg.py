@@ -98,3 +98,38 @@ def test_spartan_snark_with_hyperkzg():
     pk, vk = RelaxedR1CSSNARK.setup(E, ck, S, ee=KZG)
     proof = RelaxedR1CSSNARK.prove(E, ck, pk, S, drU, drW, ee=KZG)
     proof.verify(vk, drU, ee=KZG)
+
+
+def test_mercury_prove_verify():
+    from nova_tpu.provider.mercury import EvaluationEngine as Mercury
+
+    f = E.scalar
+    for ell in (4, 5):
+        n = 1 << ell
+        ck, tau_H = setup_insecure(2 * n)
+        poly = [rng.randrange(f.p) for _ in range(n)]
+        point = [rng.randrange(f.p) for _ in range(ell)]
+        ev = MultilinearPolynomial.evaluate_with(f, poly, point)
+        comm = CE.commit(ck, poly, 0)
+        pk, vk = Mercury.setup(E, ck)
+        t1 = E.new_transcript(b"m")
+        arg = Mercury.prove(E, ck, pk, t1, comm, poly, point, ev)
+        t2 = E.new_transcript(b"m")
+        Mercury.verify(E, vk, t2, comm, point, ev, arg)
+        t3 = E.new_transcript(b"m")
+        with pytest.raises(Exception):
+            Mercury.verify(E, vk, t3, comm, point, (ev + 1) % f.p, arg)
+
+
+def test_mercury_ntt_roundtrip():
+    from nova_tpu.provider.mercury import ntt, omega
+
+    p = E.scalar.p
+    a = [rng.randrange(p) for _ in range(16)]
+    w = omega(p, 4)
+    fwd = list(a)
+    ntt(fwd, w, 4, p)
+    back = list(fwd)
+    ntt(back, pow(w, -1, p), 4, p)
+    ninv = pow(16, -1, p)
+    assert [x * ninv % p for x in back] == a
