@@ -45,12 +45,14 @@ class CompressedSNARK:
         self.__dict__.update(kw)
 
     @staticmethod
-    def setup(pp: PublicParams, S1=None, S2=None):
+    def setup(pp: PublicParams, S1=None, S2=None, ee1=None, ee2=None):
         S1 = S1 or RelaxedR1CSSNARK
         S2 = S2 or RelaxedR1CSSNARK
-        pk_primary, vk_primary = S1.setup(pp.engine1, pp.ck_primary, pp.r1cs_shape_primary)
+        pk_primary, vk_primary = S1.setup(
+            pp.engine1, pp.ck_primary, pp.r1cs_shape_primary, ee=ee1
+        )
         pk_secondary, vk_secondary = S2.setup(
-            pp.engine2, pp.ck_secondary, pp.r1cs_shape_secondary
+            pp.engine2, pp.ck_secondary, pp.r1cs_shape_secondary, ee=ee2
         )
         pk = CompressedProverKey(pk_primary, pk_secondary)
         vk = CompressedVerifierKey(

@@ -23,6 +23,7 @@ from nova_tpu.errors import (
     InvalidInitialInputLengthError,
     InvalidStepCircuitIOError,
     InvalidStepOutputLengthError,
+    NovaError,
     ProofVerifyError,
 )
 from nova_tpu.frontend.constraint_system import SatisfyingAssignment, ShapeCS
@@ -112,6 +113,56 @@ class PublicParams:
             ck_primary,
             r1cs_shape_secondary,
             ck_secondary,
+        )
+        pp.digest()
+        return pp
+
+    @staticmethod
+    def setup_with_ptau_dir(
+        engine1: Engine,
+        engine2: Engine,
+        c: StepCircuit,
+        ptau_dir: str,
+        ck_hint1: int = 0,
+        ck_hint2: int = 0,
+    ) -> "PublicParams":
+        """Like setup(), but the primary commitment key loads from a
+        Powers-of-Tau ceremony file (for HyperKZG/Mercury on a
+        pairing-friendly primary curve; src/nova/mod.rs:221-290). The file
+        is auto-selected by size from the directory."""
+        from nova_tpu.provider.ptau import find_ptau_file, load_ck_from_ptau
+
+        F_arity = c.arity()
+        ro_consts_circuit_primary = PoseidonROConstants(engine2.base)
+        ro_consts_circuit_secondary = PoseidonROConstants(engine1.base)
+
+        cs_primary = ShapeCS(engine1.scalar)
+        NovaAugmentedCircuit(
+            engine2, True, None, c, ro_consts_circuit_primary
+        ).synthesize(cs_primary)
+        r1cs_shape_primary = cs_primary.r1cs_shape()
+        n1 = max(
+            r1cs_shape_primary.num_cons, r1cs_shape_primary.num_vars, ck_hint1
+        )
+        path = find_ptau_file(ptau_dir, n1)
+        if path is None:
+            raise NovaError(f"no ptau file in {ptau_dir} large enough for {n1}")
+        ck_primary = load_ck_from_ptau(path, n1)
+
+        cs_secondary = ShapeCS(engine2.scalar)
+        NovaAugmentedCircuit(
+            engine1, False, None, TrivialCircuit(), ro_consts_circuit_secondary
+        ).synthesize(cs_secondary)
+        r1cs_shape_secondary = cs_secondary.r1cs_shape()
+        ck_secondary = r1cs_shape_secondary.commitment_key(b"ck", ck_hint2)
+
+        if r1cs_shape_primary.num_io != 2 or r1cs_shape_secondary.num_io != 2:
+            raise InvalidStepCircuitIOError()
+
+        pp = PublicParams(
+            engine1, engine2, F_arity,
+            r1cs_shape_primary, ck_primary,
+            r1cs_shape_secondary, ck_secondary,
         )
         pp.digest()
         return pp

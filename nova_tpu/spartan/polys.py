@@ -190,6 +190,20 @@ class PowPolynomial:
             acc = acc * ((x * coord + (1 - x)) % p) % p
         return acc
 
+    def split_evals(self, len_left: int, len_right: int) -> List[int]:
+        """Two tensor factors whose outer product equals evals()
+        (src/spartan/polys/power.rs:62-90): returns left ++ right."""
+        p = self.field.p
+        assert len_left * len_right == 1 << self.ell
+        left = [1] * len_left
+        for i in range(1, len_left):
+            left[i] = left[i - 1] * self.t % p
+        step = left[-1] * self.t % p
+        right = [1] * len_right
+        for i in range(1, len_right):
+            right[i] = right[i - 1] * step % p
+        return left + right
+
 
 class IdentityPolynomial:
     """The multilinear polynomial that maps x in {0,1}^ell to its integer

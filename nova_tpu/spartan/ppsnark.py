@@ -404,15 +404,17 @@ class PPProverKey:
     S_repr: R1CSShapeSparkRepr
     S_comm: R1CSShapeSparkCommitment
     vk_digest: int
+    ee: object = None
 
 
 class PPVerifierKey:
-    def __init__(self, engine, num_cons, num_vars, S_comm, ee_vk):
+    def __init__(self, engine, num_cons, num_vars, S_comm, ee_vk, ee=None):
         self.engine = engine
         self.num_cons = num_cons
         self.num_vars = num_vars
         self.S_comm = S_comm
         self.ee_vk = ee_vk
+        self.ee = ee
         self._digest = None
 
     def digest(self) -> int:
@@ -446,13 +448,13 @@ class RelaxedR1CSSNARK:
         S = S.pad()
         S_repr = R1CSShapeSparkRepr(S)
         S_comm = S_repr.commit(ck)
-        vk = PPVerifierKey(engine, S.num_cons, S.num_vars, S_comm, ee_vk)
-        pk = PPProverKey(ee_pk, S_repr, S_comm, vk.digest())
+        vk = PPVerifierKey(engine, S.num_cons, S.num_vars, S_comm, ee_vk, ee)
+        pk = PPProverKey(ee_pk, S_repr, S_comm, vk.digest(), ee)
         return pk, vk
 
     @staticmethod
     def prove(engine, ck, pk: PPProverKey, S, U, W, ee=None) -> "RelaxedR1CSSNARK":
-        ee = ee or _default_ee()
+        ee = ee or pk.ee or _default_ee()
         field = engine.scalar
         p = field.p
 
@@ -612,7 +614,7 @@ class RelaxedR1CSSNARK:
         )
 
     def verify(self, vk: PPVerifierKey, U, ee=None) -> None:
-        ee = ee or _default_ee()
+        ee = ee or vk.ee or _default_ee()
         engine = vk.engine
         field = engine.scalar
         p = field.p

@@ -34,13 +34,15 @@ from nova_tpu.spartan.sumcheck import SumcheckProof
 class SpartanProverKey:
     vk_digest: int
     ee_pk: object
+    ee: object = None
 
 
 class SpartanVerifierKey:
-    def __init__(self, engine, S, ee_vk):
+    def __init__(self, engine, S, ee_vk, ee=None):
         self.engine = engine
         self.S = S
         self.ee_vk = ee_vk
+        self.ee = ee
         self._digest = None
 
     def digest(self) -> int:
@@ -89,8 +91,8 @@ class RelaxedR1CSSNARK:
         ee = ee or _default_ee()
         ee_pk, ee_vk = ee.setup(engine, ck)
         S = S.pad()
-        vk = SpartanVerifierKey(engine, S, ee_vk)
-        pk = SpartanProverKey(vk_digest=vk.digest(), ee_pk=ee_pk)
+        vk = SpartanVerifierKey(engine, S, ee_vk, ee)
+        pk = SpartanProverKey(vk_digest=vk.digest(), ee_pk=ee_pk, ee=ee)
         return pk, vk
 
     @staticmethod
@@ -101,7 +103,7 @@ class RelaxedR1CSSNARK:
     # -- prover ----------------------------------------------------------------
     @staticmethod
     def prove(engine, ck, pk: SpartanProverKey, S, U, W, ee=None) -> "RelaxedR1CSSNARK":
-        ee = ee or _default_ee()
+        ee = ee or pk.ee or _default_ee()
         field = engine.scalar
         p = field.p
 
@@ -195,7 +197,7 @@ class RelaxedR1CSSNARK:
 
     # -- verifier ---------------------------------------------------------------
     def verify(self, vk: SpartanVerifierKey, U, ee=None) -> None:
-        ee = ee or _default_ee()
+        ee = ee or vk.ee or _default_ee()
         engine = vk.engine
         field = engine.scalar
         p = field.p

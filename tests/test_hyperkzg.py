@@ -133,3 +133,21 @@ def test_mercury_ntt_roundtrip():
     ntt(back, pow(w, -1, p), 4, p)
     ninv = pow(16, -1, p)
     assert [x * ninv % p for x in back] == a
+
+
+def test_ivc_with_ptau_setup_constraints():
+    """setup_with_ptau_dir builds a KZG-keyed primary (BN254/Grumpkin
+    golden constraint counts 9,986/10,538; full compressed e2e covered by
+    the slower pipeline drives)."""
+    import tempfile
+
+    from nova_tpu.nova.circuit import TrivialCircuit
+    from nova_tpu.nova.ivc import PublicParams
+    from nova_tpu.provider.engines import GrumpkinEngine
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "ppot_pruned_15.ptau")
+    ptau.write_test_ptau(path, rng.randrange(E.scalar.p), 15)
+    pp = PublicParams.setup_with_ptau_dir(E, GrumpkinEngine, TrivialCircuit(), d)
+    assert pp.num_constraints() == (9986, 10538)
+    assert getattr(pp.ck_primary, "_tau_H", None) is not None
