@@ -215,12 +215,14 @@ _PREFIX_LO = bytes([0])
 _PREFIX_HI = bytes([1])
 
 
-def _compute_updated_state(hasher: Keccak256, extra: bytes) -> bytes:
+def _compute_updated_state(hasher: Keccak256, extra: bytes, evm: bool = False) -> bytes:
+    """Dual-keccak squeeze (keccak.rs:68-96); the evm feature swaps the
+    lo/hi output halves (keccak.rs:84-95)."""
     h = hasher.copy()
     h.update(extra)
     lo = h.copy().update(_PREFIX_LO).finalize()
     hi = h.update(_PREFIX_HI).finalize()
-    return lo + hi
+    return (hi + lo) if evm else (lo + hi)
 
 
 class Keccak256Transcript:
@@ -230,11 +232,12 @@ class Keccak256Transcript:
     target, `E::Scalar::from_uniform`).
     """
 
-    def __init__(self, label: bytes, scalar_field):
+    def __init__(self, label: bytes, scalar_field, evm: bool = False):
         self.scalar_field = scalar_field
+        self.evm = evm
         self.round = 0
         hasher = Keccak256()
-        self.state = _compute_updated_state(hasher, PERSONA_TAG + label)
+        self.state = _compute_updated_state(hasher, PERSONA_TAG + label, evm)
         self.transcript = Keccak256()
         self.transcript_buffer = bytearray()
 
@@ -258,14 +261,17 @@ class Keccak256Transcript:
         self.transcript_buffer.extend(tag)
 
     def _squeeze_raw(self, label: bytes) -> bytes:
-        inp = DOM_SEP_TAG + self.round.to_bytes(8, "little") + self.state + label
-        output = _compute_updated_state(self.transcript, inp)
+        order = "big" if self.evm else "little"
+        inp = DOM_SEP_TAG + self.round.to_bytes(8, order) + self.state + label
+        output = _compute_updated_state(self.transcript, inp, self.evm)
         if self.round >= (1 << 64) - 1:
             raise NovaError("transcript round overflow")
         self.round += 1
         self.state = output
         self.transcript = Keccak256()
         self.transcript_buffer = bytearray()
+        if self.evm:
+            output = output[::-1]
         return output
 
     def squeeze(self, label: bytes) -> int:

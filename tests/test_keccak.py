@@ -69,3 +69,35 @@ def test_squeeze_bits():
     t2 = Keccak256Transcript(b"x", pallas_scalar)
     v2 = t2.squeeze_bits(b"c", 16, True)
     assert (v2 >> 15) & 1 == 1
+
+
+def _run_transcript_evm(field, exp1, exp2):
+    """mirrors the evm-feature test (src/provider/keccak.rs:261-276):
+    scalars absorb big-endian, round counter big-endian, output halves
+    swapped + reversed."""
+    t = Keccak256Transcript(b"test", field, evm=True)
+    t.absorb_bytes(b"s1", field.to_repr(2)[::-1])
+    t.absorb_bytes(b"s2", field.to_repr(5)[::-1])
+    c1 = t.squeeze(b"c1")
+    assert field.to_repr(c1).hex() == exp1
+    t.absorb_bytes(b"s3", field.to_repr(128)[::-1])
+    c2 = t.squeeze(b"c2")
+    assert field.to_repr(c2).hex() == exp2
+
+
+def test_transcript_golden_evm():
+    _run_transcript_evm(
+        pallas_scalar,
+        "78cce45b5f6cdc2021d9bba6c69c8c78c80c9a6ed65604db82d12166b28d212c",
+        "7de5b755566a6a0423117770a9f3427f64fc0133dd6fc38a5e1f0790d3c6b20a",
+    )
+    _run_transcript_evm(
+        bn254_scalar,
+        "59b12afc64ee9e2e1740bcd6d881ca1fab187a6261366b48aaeb5e23d949cf20",
+        "b17d158ee602f2434af680597b09b9770022408c98276f0f46cbbf13bd86e020",
+    )
+    _run_transcript_evm(
+        secp_scalar,
+        "f7ce678fa4de4f3bdbf1deaa5fc68e567f65e23ea2639585b01dc5127887721b",
+        "a7fc93173c05e007ef1b30631400ed112463958e80a3af4d2508e4ac0e9a7409",
+    )
