@@ -53,6 +53,25 @@ class TrivialCircuit(StepCircuit):
         return list(z)
 
 
+class NonTrivialCircuit(StepCircuit):
+    """Repeated squaring, `num_cons` constraints per step
+    (src/traits/circuit.rs:45-78)."""
+
+    def __init__(self, num_cons: int):
+        self.num_cons = num_cons
+
+    def arity(self) -> int:
+        return 1
+
+    def synthesize(self, cs, z):
+        x = z[0]
+        y = x
+        for _ in range(self.num_cons):
+            y = x.square(cs)
+            x = y
+        return [y]
+
+
 # ---------------------------------------------------------------------------
 # allocated instance gadgets (circuit/r1cs.rs)
 # ---------------------------------------------------------------------------
