@@ -131,9 +131,18 @@ class RelaxedR1CSSNARK:
             field, [(U.u * c + e) % p for c, e in zip(Cz, W.E)]
         )
 
-        sc_proof_outer, r_x, claims_outer = SumcheckProof.prove_cubic_with_three_inputs(
-            field, 0, tau, poly_Az, poly_Bz, poly_uCz_E, transcript
-        )
+        from nova_tpu.constants import DEVICE_THRESHOLD
+
+        if S.num_cons >= DEVICE_THRESHOLD:
+            from nova_tpu.ops.sumcheck import prove_cubic_with_three_inputs_device
+
+            sc_proof_outer, r_x, claims_outer = prove_cubic_with_three_inputs_device(
+                field, 0, tau, poly_Az.Z, poly_Bz.Z, poly_uCz_E.Z, transcript
+            )
+        else:
+            sc_proof_outer, r_x, claims_outer = SumcheckProof.prove_cubic_with_three_inputs(
+                field, 0, tau, poly_Az, poly_Bz, poly_uCz_E, transcript
+            )
         claim_Az, claim_Bz = claims_outer[0], claims_outer[1]
         claim_Cz = poly_Cz.evaluate(r_x)
         eval_E = MultilinearPolynomial(field, list(W.E)).evaluate(r_x)

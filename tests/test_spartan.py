@@ -240,3 +240,29 @@ def test_direct_snark_cubic():
     snark.verify(engine, vk, [2, y])
     with pytest.raises(Exception):
         snark.verify(engine, vk, [2, (y + 1) % f.p])
+
+
+def test_device_sumcheck_matches_host():
+    """The device-resident sumcheck must produce an identical transcript
+    (same round polynomials, challenges, final claims) as the host path."""
+    from nova_tpu.ops.sumcheck import prove_cubic_with_three_inputs_device
+
+    f = PallasEngine.scalar
+    n = 16
+    taus = [rand(f) for _ in range(4)]
+    A = [rand(f) for _ in range(n)]
+    B = [rand(f) for _ in range(n)]
+    C = [a * b % f.p for a, b in zip(A, B)]
+    t1 = PallasEngine.new_transcript(b"x")
+    p1, r1, c1 = SumcheckProof.prove_cubic_with_three_inputs(
+        f, 0, taus,
+        MultilinearPolynomial(f, A),
+        MultilinearPolynomial(f, B),
+        MultilinearPolynomial(f, C),
+        t1,
+    )
+    t2 = PallasEngine.new_transcript(b"x")
+    p2, r2, c2 = prove_cubic_with_three_inputs_device(f, 0, taus, A, B, C, t2)
+    assert r1 == r2 and c1 == c2
+    for x, y in zip(p1.compressed_polys, p2.compressed_polys):
+        assert x.coeffs_except_linear_term == y.coeffs_except_linear_term
