@@ -55,7 +55,12 @@ def _bmul(jf: JField, pairs):
 
 
 def xyzz_double(jf: JField, p: dict) -> dict:
-    """dbl-2008-s-1 (a=0), cost 2M+5S (msm.rs:63-88), masked for identity."""
+    """dbl-2008-s-1 (a=0), cost 2M+5S (msm.rs:63-88), masked for identity.
+    On TPU backends the whole formula runs as one fused Pallas kernel."""
+    from nova_tpu.fields.pallas_kernels import pallas_available, xyzz_double_pallas
+
+    if pallas_available():
+        return xyzz_double_pallas(jf, p)
     F = jf
     u = F.double(p["y"])
     v, x_sq = _bmul(F, [(u, u), (p["x"], p["x"])])
@@ -74,6 +79,10 @@ def xyzz_add(jf: JField, p: dict, q: dict) -> dict:
     either operand being the identity, doubling, and inverses. The ~20
     field multiplies (including the fused doubling path) are grouped into
     4 batched mont_mul calls by dependency level."""
+    from nova_tpu.fields.pallas_kernels import pallas_available, xyzz_add_pallas
+
+    if pallas_available():
+        return xyzz_add_pallas(jf, p, q)
     F = jf
     x1, y1, zz1, zzz1 = p["x"], p["y"], p["zz"], p["zzz"]
     x2, y2, zz2, zzz2 = q["x"], q["y"], q["zz"], q["zzz"]

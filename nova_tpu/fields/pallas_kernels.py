@@ -130,3 +130,295 @@ def mont_mul_pallas(jf, a, b):
     if pad:
         out = out[:n]
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# fused XYZZ point kernels
+# ---------------------------------------------------------------------------
+#
+# One kernel per group-law op: every field intermediate of the ~20-multiply
+# complete addition stays in registers instead of round-tripping HBM
+# between mont_mul dispatches.
+
+def _make_limb_helpers(p_limbs, n0inv):
+    p_consts = [np.uint32(x) for x in p_limbs]
+    n0 = np.uint32(n0inv)
+    NL = NUM_LIMBS
+
+    def kmul(A, B):
+        zero = jnp.zeros_like(A[0])
+        cols = [zero] * (2 * NL + 1)
+        for i in range(NL):
+            for j in range(NL):
+                t = A[i] * B[j]
+                cols[i + j] = cols[i + j] + (t & MASK)
+                cols[i + j + 1] = cols[i + j + 1] + (t >> LB)
+        carry = zero
+        for i in range(NL):
+            t = cols[i] + carry
+            m = (t * n0) & MASK
+            pm0 = m * p_consts[0]
+            tmp = t + (pm0 & MASK)
+            carry = (tmp >> LB) + (pm0 >> LB)
+            for j in range(1, NL):
+                pj = m * p_consts[j]
+                cols[i + j] = cols[i + j] + (pj & MASK)
+                cols[i + j + 1] = cols[i + j + 1] + (pj >> LB)
+        limbs = []
+        c = carry
+        for k in range(NL, 2 * NL):
+            v = cols[k] + c
+            limbs.append(v & MASK)
+            c = v >> LB
+        return _cond_sub(limbs, c)
+
+    def _cond_sub(limbs, overflow=None):
+        borrow = jnp.zeros_like(limbs[0])
+        diff = []
+        for i in range(NL):
+            d = limbs[i] - p_consts[i] - borrow
+            diff.append(d & MASK)
+            borrow = (d >> 31) & np.uint32(1)
+        need = borrow == 0
+        if overflow is not None:
+            need = need | (overflow > 0)
+        return [jnp.where(need, d, l) for d, l in zip(diff, limbs)]
+
+    def kadd(A, B):
+        limbs = []
+        carry = jnp.zeros_like(A[0])
+        for i in range(NL):
+            v = A[i] + B[i] + carry
+            limbs.append(v & MASK)
+            carry = v >> LB
+        return _cond_sub(limbs, carry)
+
+    def ksub(A, B):
+        borrow = jnp.zeros_like(A[0])
+        diff = []
+        for i in range(NL):
+            d = A[i] - B[i] - borrow
+            diff.append(d & MASK)
+            borrow = (d >> 31) & np.uint32(1)
+        carry = jnp.zeros_like(borrow)
+        out = []
+        for i in range(NL):
+            v = diff[i] + jnp.where(borrow > 0, p_consts[i], np.uint32(0)) + carry
+            out.append(v & MASK)
+            carry = v >> LB
+        return out
+
+    def kdbl(A):
+        return kadd(A, A)
+
+    def kis_zero(A):
+        acc = A[0]
+        for i in range(1, NL):
+            acc = acc | A[i]
+        return acc == 0
+
+    def ksel(c, A, B):
+        return [jnp.where(c, a, b) for a, b in zip(A, B)]
+
+    return kmul, kadd, ksub, kdbl, kis_zero, ksel
+
+
+def _xyzz_add_kernel_body(p_limbs, n0inv, r_limbs):
+    """Complete XYZZ + XYZZ (mirrors curves/jpoints.xyzz_add exactly)."""
+    kmul, kadd, ksub, kdbl, kis_zero, ksel = _make_limb_helpers(p_limbs, n0inv)
+    one_consts = [np.uint32(x) for x in r_limbs]  # Montgomery one
+    NL = NUM_LIMBS
+
+    def kernel(px, py, pzz, pzzz, qx, qy, qzz, qzzz, ox, oy, ozz, ozzz):
+        def rd(ref):
+            return [ref[i, :] for i in range(NL)]
+
+        X1, Y1, ZZ1, ZZZ1 = rd(px), rd(py), rd(pzz), rd(pzzz)
+        X2, Y2, ZZ2, ZZZ2 = rd(qx), rd(qy), rd(qzz), rd(qzzz)
+        zero_row = jnp.zeros_like(X1[0])
+        KZERO = [zero_row] * NL
+        KONE = [zero_row + c for c in one_consts]
+
+        u_dbl = kdbl(Y1)
+        u1 = kmul(X1, ZZ2)
+        u2 = kmul(X2, ZZ1)
+        s1 = kmul(Y1, ZZZ2)
+        s2 = kmul(Y2, ZZZ1)
+        v_dbl = kmul(u_dbl, u_dbl)
+        xsq = kmul(X1, X1)
+        pd = ksub(u2, u1)
+        r = ksub(s2, s1)
+        m_dbl = kadd(kdbl(xsq), xsq)
+
+        pp = kmul(pd, pd)
+        rr = kmul(r, r)
+        zzp = kmul(ZZ1, ZZ2)
+        zzzp = kmul(ZZZ1, ZZZ2)
+        w_dbl = kmul(u_dbl, v_dbl)
+        s_dbl = kmul(X1, v_dbl)
+        mm_dbl = kmul(m_dbl, m_dbl)
+        x3_dbl = ksub(mm_dbl, kdbl(s_dbl))
+
+        ppp = kmul(pd, pp)
+        qq = kmul(u1, pp)
+        zz3 = kmul(zzp, pp)
+        zz3_dbl = kmul(ZZ1, v_dbl)
+        zzz3_dbl = kmul(ZZZ1, w_dbl)
+        wy_dbl = kmul(w_dbl, Y1)
+        x3 = ksub(ksub(rr, ppp), kdbl(qq))
+
+        t1 = kmul(r, ksub(qq, x3))
+        t2 = kmul(s1, ppp)
+        zzz3 = kmul(zzzp, ppp)
+        ms_dbl = kmul(m_dbl, ksub(s_dbl, x3_dbl))
+        y3 = ksub(t1, t2)
+        y3_dbl = ksub(ms_dbl, wy_dbl)
+
+        p_zero = kis_zero(ZZ1)
+        q_zero = kis_zero(ZZ2)
+        eq_u = kis_zero(pd)
+        eq_s = kis_zero(r)
+
+        def pick(res_n, res_d, res_z, P, Q, p_coord, q_coord):
+            out = jnp.where(eq_u & eq_s, res_d, res_n)
+            out = jnp.where(eq_u & ~eq_s, res_z, out)
+            out = jnp.where(p_zero, q_coord, out)
+            out = jnp.where(q_zero & ~p_zero, p_coord, out)
+            return out
+
+        # doubling path must fall back to p when p is the identity
+        dblx = ksel(~p_zero, x3_dbl, X1)
+        dbly = ksel(~p_zero, y3_dbl, Y1)
+        dblzz = ksel(~p_zero, zz3_dbl, ZZ1)
+        dblzzz = ksel(~p_zero, zzz3_dbl, ZZZ1)
+
+        for i in range(NL):
+            ox[i, :] = pick(x3[i], dblx[i], KONE[i], X1, X2, X1[i], X2[i])
+            oy[i, :] = pick(y3[i], dbly[i], KONE[i], Y1, Y2, Y1[i], Y2[i])
+            ozz[i, :] = pick(zz3[i], dblzz[i], KZERO[i], ZZ1, ZZ2, ZZ1[i], ZZ2[i])
+            ozzz[i, :] = pick(zzz3[i], dblzzz[i], KZERO[i], ZZZ1, ZZZ2, ZZZ1[i], ZZZ2[i])
+
+    return kernel
+
+
+def _xyzz_double_kernel_body(p_limbs, n0inv):
+    kmul, kadd, ksub, kdbl, kis_zero, ksel = _make_limb_helpers(p_limbs, n0inv)
+    NL = NUM_LIMBS
+
+    def kernel(px, py, pzz, pzzz, ox, oy, ozz, ozzz):
+        def rd(ref):
+            return [ref[i, :] for i in range(NL)]
+
+        X1, Y1, ZZ1, ZZZ1 = rd(px), rd(py), rd(pzz), rd(pzzz)
+        u = kdbl(Y1)
+        v = kmul(u, u)
+        x_sq = kmul(X1, X1)
+        w = kmul(u, v)
+        s = kmul(X1, v)
+        zz3 = kmul(ZZ1, v)
+        m = kadd(kdbl(x_sq), x_sq)
+        mm = kmul(m, m)
+        zzz3 = kmul(ZZZ1, w)
+        x3 = ksub(mm, kdbl(s))
+        t1 = kmul(m, ksub(s, x3))
+        t2 = kmul(w, Y1)
+        y3 = ksub(t1, t2)
+        nz = ~kis_zero(ZZ1)
+        for i in range(NL):
+            ox[i, :] = jnp.where(nz, x3[i], X1[i])
+            oy[i, :] = jnp.where(nz, y3[i], Y1[i])
+            ozz[i, :] = jnp.where(nz, zz3[i], ZZ1[i])
+            ozzz[i, :] = jnp.where(nz, zzz3[i], ZZZ1[i])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _xyzz_add_call(key):
+    field_p, p_limbs, n0inv, r_limbs = key
+    kernel = _xyzz_add_kernel_body(p_limbs, n0inv, r_limbs)
+
+    @jax.jit
+    def call(*coords):  # 8 arrays (16, N)
+        n = coords[0].shape[1]
+        blk = 1024 if n % 1024 == 0 else (256 if n % 256 == 0 else n)
+        grid = n // blk
+        spec = pl.BlockSpec((NUM_LIMBS, blk), lambda i: (0, i))
+        shapes = [jax.ShapeDtypeStruct(coords[0].shape, jnp.uint32)] * 4
+        return pl.pallas_call(
+            kernel,
+            out_shape=shapes,
+            grid=(grid,),
+            in_specs=[spec] * 8,
+            out_specs=[spec] * 4,
+        )(*coords)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _xyzz_double_call(key):
+    field_p, p_limbs, n0inv = key
+    kernel = _xyzz_double_kernel_body(p_limbs, n0inv)
+
+    @jax.jit
+    def call(*coords):  # 4 arrays (16, N)
+        n = coords[0].shape[1]
+        blk = 1024 if n % 1024 == 0 else (256 if n % 256 == 0 else n)
+        grid = n // blk
+        spec = pl.BlockSpec((NUM_LIMBS, blk), lambda i: (0, i))
+        shapes = [jax.ShapeDtypeStruct(coords[0].shape, jnp.uint32)] * 4
+        return pl.pallas_call(
+            kernel,
+            out_shape=shapes,
+            grid=(grid,),
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 4,
+        )(*coords)
+
+    return call
+
+
+def _to2d(arrs):
+    shape = arrs[0].shape
+    flat = [a.reshape(-1, NUM_LIMBS) for a in arrs]
+    n = flat[0].shape[0]
+    pad = (-n) % 256
+    if pad:
+        flat = [jnp.concatenate([a, jnp.zeros((pad, NUM_LIMBS), a.dtype)]) for a in flat]
+    return [a.T for a in flat], shape, n, pad
+
+
+def _from2d(outs, shape, n, pad):
+    res = []
+    for o in outs:
+        t = o.T
+        if pad:
+            t = t[:n]
+        res.append(t.reshape(shape))
+    return res
+
+
+def xyzz_add_pallas(jf, p: dict, q: dict) -> dict:
+    from nova_tpu.fields.spec import to_limbs
+
+    key = (
+        jf.spec.p,
+        tuple(int(x) for x in jf.p_limbs),
+        int(jf.n0inv),
+        tuple(int(x) for x in jf.r_limbs),
+    )
+    arrs, shape, n, pad = _to2d(
+        [p["x"], p["y"], p["zz"], p["zzz"], q["x"], q["y"], q["zz"], q["zzz"]]
+    )
+    outs = _xyzz_add_call(key)(*arrs)
+    x, y, zz, zzz = _from2d(outs, shape, n, pad)
+    return {"x": x, "y": y, "zz": zz, "zzz": zzz}
+
+
+def xyzz_double_pallas(jf, p: dict) -> dict:
+    key = (jf.spec.p, tuple(int(x) for x in jf.p_limbs), int(jf.n0inv))
+    arrs, shape, n, pad = _to2d([p["x"], p["y"], p["zz"], p["zzz"]])
+    outs = _xyzz_double_call(key)(*arrs)
+    x, y, zz, zzz = _from2d(outs, shape, n, pad)
+    return {"x": x, "y": y, "zz": zz, "zzz": zzz}

@@ -173,10 +173,11 @@ def _window_bucket_sum_body(jf, c: int, rounds: int, d, bx, by, binf):
     return {k: v[0] for k, v in T.items()}
 
 
-# Peak-HBM budget in window-point units: each point in flight through the
-# sorted-combine phase costs ~13KB of fused temps (Montgomery product
-# columns), so 2^18 window-points ≈ 3.5GB — comfortably under a v5e's 16GB.
-_WINDOW_POINT_BUDGET = 1 << 18
+# Peak-HBM budget in window-point units. With the fused Pallas point
+# kernels a window-point in flight costs ~0.5KB (4 XYZZ coords + a few
+# temps), so 2^21 window-points ≈ 4GB. The portable XLA path (CPU tests)
+# costs ~13KB/point but only runs at tiny sizes.
+_WINDOW_POINT_BUDGET = 1 << 21
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -268,7 +269,10 @@ def msm_device(
         bx, by, binf = bx[:n_pad], by[:n_pad], binf[:n_pad]
 
     if window is None:
-        window = 16 if n_pad >= (1 << 17) else 8
+        # c=8 measures fastest through 2^16 with the fused point kernels
+        # (wider windows shrink combine rounds but the bucket-tree and
+        # compile costs outweigh it); revisit for 2^20+.
+        window = 8
     num_bits = curve.scalar.num_bits
     num_windows = (num_bits + window - 1) // window
 
