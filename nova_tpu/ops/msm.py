@@ -273,8 +273,17 @@ def msm_device(
         # (wider windows shrink combine rounds but the bucket-tree and
         # compile costs outweigh it); revisit for 2^20+.
         window = 8
-    num_bits = curve.scalar.num_bits
+    # msm_small fast path (reference msm.rs:469-530 bit-width routing):
+    # only process windows covered by the widest scalar. Quantized to
+    # powers of two so the jit signature takes few values.
+    num_bits = max((int(s).bit_length() for s in scalars), default=1)
+    num_bits = max(1, min(num_bits, curve.scalar.num_bits))
     num_windows = (num_bits + window - 1) // window
+    full_windows = (curve.scalar.num_bits + window - 1) // window
+    q = 1
+    while q < num_windows:
+        q *= 2
+    num_windows = min(q, full_windows)
 
     digits = digits_for_windows(limbs, window, num_windows)
     # rounds must cover the largest bucket load. Quantize to an even count

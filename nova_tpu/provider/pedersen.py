@@ -229,8 +229,47 @@ class CommitmentEngine:
         return Commitment(acc)
 
     @staticmethod
+    def batch_commit(ck: CommitmentKey, vs, rs) -> list:
+        """commitment.rs:94-104."""
+        assert len(vs) == len(rs)
+        return [CommitmentEngine.commit(ck, v, r) for v, r in zip(vs, rs)]
+
+    @staticmethod
     def commit_small(ck: CommitmentKey, v: Sequence[int], r: int = 0) -> Commitment:
         return CommitmentEngine.commit(ck, v, r)
+
+    @staticmethod
+    def batch_commit_small(ck: CommitmentKey, vs, rs) -> list:
+        assert len(vs) == len(rs)
+        return [CommitmentEngine.commit_small(ck, v, r) for v, r in zip(vs, rs)]
+
+    @staticmethod
+    def commit_small_range(
+        ck: CommitmentKey, v: Sequence[int], r: int, range_: range, max_num_bits: int
+    ) -> Commitment:
+        """Commit over a generator sub-range (pedersen.rs:285-315)."""
+        bases = ck.ck[range_.start : range_.stop]
+        assert len(bases) >= len(v)
+        acc = host_msm(list(v), bases[: len(v)]) if v else AffinePoint.identity(ck.curve)
+        if r:
+            acc = acc.add(ck.h.mul(r))
+        return Commitment(acc)
+
+    @staticmethod
+    def ck_derive_by_address(
+        ck: CommitmentKey, addresses: Sequence[int], table_size: int
+    ) -> CommitmentKey:
+        """Derived key: G'_j = sum_{i: addr[i]=j} G_i (pedersen.rs:360-381)."""
+        from nova_tpu.errors import InvalidCommitmentKeyLengthError, InvalidIndexError
+
+        if len(addresses) > len(ck.ck):
+            raise InvalidCommitmentKeyLengthError()
+        if any(j >= table_size for j in addresses):
+            raise InvalidIndexError()
+        acc = [AffinePoint.identity(ck.curve) for _ in range(table_size)]
+        for i, j in enumerate(addresses):
+            acc[j] = acc[j].add(ck.ck[i])
+        return CommitmentKey(ck.curve, acc, ck.h)
 
     @staticmethod
     def commit_sparse(
