@@ -168,51 +168,28 @@ def msm_sharded(
 # sharded fold step (the "training step" analog for the dryrun)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _fold_step_kernel(field_p: int, c: int, rounds: int, mesh,
-                      az, bz, cz, e_vec, w1, w2, u_bcast, r_bcast,
-                      d_all, bx, by, binf):
-    """One full sharded fold step:
-      T = Az*Bz - u*Cz - E          (elementwise, sharded, no comms)
-      comm_T = MSM(T-digits, bases)  (sharded Pippenger + point all-reduce)
-      W' = W1 + r*W2                 (elementwise, sharded)
-      E' = E + r*T                   (elementwise, sharded)
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fold_elementwise_kernel(field_p: int, mesh, az, bz, cz, e_vec, w1, w2,
+                             u_bcast, r_bcast):
+    """Elementwise half of the sharded fold step (no communication except
+    the sumcheck-round reduction):
+      T = Az*Bz - u*Cz - E ; W' = W1 + r*W2 ; E' = E + r*T
     plus one sumcheck-style round reduction over T (partial field sums
-    all-gathered and added) to exercise the collective path.
-
-    All field arrays are (N, 16) uint32 Montgomery, sharded on axis 0.
-    d_all are digits of the T-commit scalars (precomputed host-side in the
-    real path; here fed in to keep the step jittable end-to-end).
+    all-gathered and field-added) to exercise the collective path.
+    The commitment to T runs separately through _msm_sharded_kernel, which
+    keeps each compiled executable small (a single fused kernel crashed
+    the XLA:CPU executable serializer) and shares the MSM compile with the
+    standalone sharded-MSM path.
     """
     jf = JField._instances[field_p]
 
-    def body(az, bz, cz, e_vec, w1, w2, u_b, r_b, d_loc, bx_loc, by_loc, binf_loc):
+    def body(az, bz, cz, e_vec, w1, w2, u_b, r_b):
         u_b = jnp.broadcast_to(u_b, cz.shape)
         r_b = jnp.broadcast_to(r_b, cz.shape)
         t_vec = jf.sub(jf.sub(jf.mont_mul(az, bz), jf.mont_mul(u_b, cz)), e_vec)
         w_new = jf.add(w1, jf.mont_mul(r_b, w2))
         e_new = jf.add(e_vec, jf.mont_mul(r_b, t_vec))
 
-        # MSM over the provided digit decomposition
-        def one_window(d):
-            return _window_bucket_sum_body(jf, c, rounds, d, bx_loc, by_loc, binf_loc)
-
-        window_pts = jax.vmap(one_window)(d_loc)
-        rev = {k: v[::-1] for k, v in window_pts.items()}
-        acc0 = _pvary(xyzz_zero(jf, jnp.zeros((NUM_LIMBS,), jnp.uint32)), "pts")
-
-        def horner(acc, ws):
-            def dbl(_, a):
-                return xyzz_double(jf, a)
-
-            acc = jax.lax.fori_loop(0, c, dbl, acc)
-            return xyzz_add(jf, acc, ws), None
-
-        local, _ = jax.lax.scan(horner, acc0, rev)
-        gathered = {k: jax.lax.all_gather(v, "pts", axis=0) for k, v in local.items()}
-        comm_t = _tree_reduce_points(jf, gathered)
-
-        # sumcheck-style round sums on T: partial field sums + all-reduce
         half = t_vec.shape[0] // 2
         lo, hi = t_vec[:half], t_vec[half:]
         s0_part = _field_sum(jf, jf.mont_mul(lo, lo))
@@ -221,17 +198,16 @@ def _fold_step_kernel(field_p: int, c: int, rounds: int, mesh,
         sinf_all = jax.lax.all_gather(sinf_part, "pts", axis=0)
         s0 = _field_sum(jf, s0_all)
         sinf = _field_sum(jf, sinf_all)
-        return t_vec, w_new, e_new, comm_t["x"], comm_t["zz"], s0, sinf
+        return t_vec, w_new, e_new, s0, sinf
 
     shard = P("pts")
     rep = P()
     return _shard_map(
         body,
         mesh,
-        in_specs=(shard, shard, shard, shard, shard, shard, rep, rep,
-                  P(None, "pts"), shard, shard, shard),
-        out_specs=(shard, shard, shard, rep, rep, rep, rep),
-    )(az, bz, cz, e_vec, w1, w2, u_bcast, r_bcast, d_all, bx, by, binf)
+        in_specs=(shard, shard, shard, shard, shard, shard, rep, rep),
+        out_specs=(shard, shard, shard, rep, rep),
+    )(az, bz, cz, e_vec, w1, w2, u_bcast, r_bcast)
 
 
 def _field_sum(jf, arr):
@@ -290,13 +266,14 @@ def run_sharded_fold_step(mesh: Mesh, field, n: int, seed: int = 7):
     by = to_mont(jnp.asarray(jf.pack([pt.y for pt in bases])))
     binf = jnp.asarray(np.zeros(n, dtype=bool))
 
-    out = _fold_step_kernel(
-        spec.p, c, rounds, mesh,
-        az, bz, cz, e_vec, w1, w2, u_b, r_b,
-        jnp.asarray(digits), bx, by, binf,
+    t_vec, w_new, e_new, s0, sinf = _fold_elementwise_kernel(
+        spec.p, mesh, az, bz, cz, e_vec, w1, w2, u_b, r_b
     )
-    jax.block_until_ready(out)
-    return out[3]
+    comm = _msm_sharded_kernel(
+        spec.p, c, rounds, mesh, jnp.asarray(digits), bx, by, binf
+    )
+    jax.block_until_ready((t_vec, w_new, e_new, s0, sinf, comm))
+    return comm[0]
 
 
 def _pick_curve_for_field(spec):
