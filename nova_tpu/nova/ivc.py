@@ -93,14 +93,18 @@ class PublicParams:
             engine2, True, None, c, ro_consts_circuit_primary
         ).synthesize(cs_primary)
         r1cs_shape_primary = cs_primary.r1cs_shape()
-        ck_primary = r1cs_shape_primary.commitment_key(b"ck", ck_hint1)
+        # hints may be ints or CommitmentKeyHint-style callables of the shape
+        # (e.g. ppsnark's ck_floor, src/traits/snark.rs:40-50)
+        h1 = ck_hint1(r1cs_shape_primary) if callable(ck_hint1) else ck_hint1
+        ck_primary = r1cs_shape_primary.commitment_key(b"ck", h1)
 
         cs_secondary = ShapeCS(engine2.scalar)
         NovaAugmentedCircuit(
             engine1, False, None, TrivialCircuit(), ro_consts_circuit_secondary
         ).synthesize(cs_secondary)
         r1cs_shape_secondary = cs_secondary.r1cs_shape()
-        ck_secondary = r1cs_shape_secondary.commitment_key(b"ck", ck_hint2)
+        h2 = ck_hint2(r1cs_shape_secondary) if callable(ck_hint2) else ck_hint2
+        ck_secondary = r1cs_shape_secondary.commitment_key(b"ck", h2)
 
         if r1cs_shape_primary.num_io != 2 or r1cs_shape_secondary.num_io != 2:
             raise InvalidStepCircuitIOError()

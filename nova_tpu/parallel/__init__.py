@@ -54,6 +54,23 @@ from nova_tpu.ops.msm import (
 )
 
 
+class _no_persistent_cache:
+    """Disable the persistent compilation cache around the big shard_map
+    programs: XLA:CPU's executable (de)serialization segfaults on them
+    (observed repeatedly in put/get_executable during the test suite), and
+    they are the only programs large enough to trigger it."""
+
+    def __enter__(self):
+        from jax._src import config as _jc
+
+        self._cm = _jc.enable_compilation_cache(False)
+        self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._cm.__exit__(*exc)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "pts") -> Mesh:
     """1-D device mesh over the first n devices."""
     devs = jax.devices()
@@ -151,9 +168,11 @@ def msm_sharded(
     bx = to_mont(jnp.asarray(xs))
     by = to_mont(jnp.asarray(ys))
 
-    x, y, zz, zzz = _msm_sharded_kernel(
-        jf.spec.p, window, rounds, mesh, jnp.asarray(digits), bx, by, jnp.asarray(infs)
-    )
+    with _no_persistent_cache():
+        x, y, zz, zzz = _msm_sharded_kernel(
+            jf.spec.p, window, rounds, mesh, jnp.asarray(digits), bx, by,
+            jnp.asarray(infs)
+        )
     xv = _limbs16_to_int(np.asarray(jax.device_get(x)))
     yv = _limbs16_to_int(np.asarray(jax.device_get(y)))
     zzv = _limbs16_to_int(np.asarray(jax.device_get(zz)))
@@ -266,12 +285,13 @@ def run_sharded_fold_step(mesh: Mesh, field, n: int, seed: int = 7):
     by = to_mont(jnp.asarray(jf.pack([pt.y for pt in bases])))
     binf = jnp.asarray(np.zeros(n, dtype=bool))
 
-    t_vec, w_new, e_new, s0, sinf = _fold_elementwise_kernel(
-        spec.p, mesh, az, bz, cz, e_vec, w1, w2, u_b, r_b
-    )
-    comm = _msm_sharded_kernel(
-        spec.p, c, rounds, mesh, jnp.asarray(digits), bx, by, binf
-    )
+    with _no_persistent_cache():
+        t_vec, w_new, e_new, s0, sinf = _fold_elementwise_kernel(
+            spec.p, mesh, az, bz, cz, e_vec, w1, w2, u_b, r_b
+        )
+        comm = _msm_sharded_kernel(
+            spec.p, c, rounds, mesh, jnp.asarray(digits), bx, by, binf
+        )
     jax.block_until_ready((t_vec, w_new, e_new, s0, sinf, comm))
     return comm[0]
 

@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 from nova_tpu.constants import DEVICE_THRESHOLD
+from nova_tpu.ops import device_ok as _device_ok
 from nova_tpu.curves.msm_host import msm as host_msm
 from nova_tpu.curves.spec import AffinePoint, CurveSpec
 from nova_tpu.provider.keccak import Shake256
@@ -218,7 +219,7 @@ class CommitmentEngine:
         assert len(ck.ck) >= len(v), (len(ck.ck), len(v))
         if len(v) == 0:
             acc = AffinePoint.identity(ck.curve)
-        elif len(v) >= DEVICE_THRESHOLD:
+        elif len(v) >= DEVICE_THRESHOLD and _device_ok():
             from nova_tpu.ops.msm import msm_device
 
             acc = msm_device(list(v), device_bases=ck.device_bases(len(v)))

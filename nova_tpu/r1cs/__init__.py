@@ -148,7 +148,9 @@ class R1CSShape:
     def multiply_vec(self, z: Sequence[int]):
         if len(z) != self.num_io + self.num_vars + 1:
             raise InvalidWitnessLengthError()
-        if self.num_cons >= DEVICE_THRESHOLD:
+        from nova_tpu.ops import device_ok
+
+        if self.num_cons >= DEVICE_THRESHOLD and device_ok():
             from nova_tpu.ops.spmv import multiply_vec_device
 
             return multiply_vec_device(self, z)
@@ -366,7 +368,9 @@ class RelaxedR1CSWitness:
         if len(self.W) != len(W2.W):
             raise InvalidWitnessLengthError()
         p = field.p
-        if len(self.W) >= DEVICE_THRESHOLD:
+        from nova_tpu.ops import device_ok
+
+        if len(self.W) >= DEVICE_THRESHOLD and device_ok():
             from nova_tpu.ops.fold import fold_witness_device
 
             W, E = fold_witness_device(field, self.W, W2.W, self.E, T, r)

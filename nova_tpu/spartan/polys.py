@@ -133,24 +133,25 @@ class MaskedEqPolynomial:
         self.num_masked_vars = num_masked_vars
 
     def evaluate(self, rx: Sequence[int]) -> int:
+        """(eq_lo - mask_lo) * eq_hi with the split at n - m
+        (src/spartan/polys/masked_eq.rs:34-53)."""
         field = self.eq.field
         p = field.p
         r = self.eq.r
         assert len(rx) == len(r)
-        split = self.num_masked_vars
-        # eq(r,x) - eq_masked where masked region = prefix vars all zero
-        full = EqPolynomial(field, r).evaluate(rx)
-        prefix = 1
+        split = len(r) - self.num_masked_vars
+        eq_lo = EqPolynomial(field, r[:split]).evaluate(rx[:split])
+        eq_hi = EqPolynomial(field, r[split:]).evaluate(rx[split:])
+        mask_lo = 1
         for a, b in zip(r[:split], rx[:split]):
-            prefix = prefix * ((1 - a) % p) % p
-            prefix = prefix * ((1 - b) % p) % p
-        suffix = EqPolynomial(field, r[split:]).evaluate(rx[split:])
-        return (full - prefix * suffix) % p
+            mask_lo = mask_lo * ((1 - a) * (1 - b) % p) % p
+        return (eq_lo - mask_lo) * eq_hi % p
 
     def evals(self) -> List[int]:
+        """eq table with the first 2^m entries zeroed
+        (masked_eq.rs:57-76)."""
         tab = EqPolynomial.evals_from_points(self.eq.field, self.eq.r)
-        masked = 1 << (len(self.eq.r) - self.num_masked_vars)
-        for i in range(masked):
+        for i in range(1 << self.num_masked_vars):
             tab[i] = 0
         return tab
 

@@ -133,7 +133,9 @@ class RelaxedR1CSSNARK:
 
         from nova_tpu.constants import DEVICE_THRESHOLD
 
-        if S.num_cons >= DEVICE_THRESHOLD:
+        from nova_tpu.ops import device_ok
+
+        if S.num_cons >= DEVICE_THRESHOLD and device_ok():
             from nova_tpu.ops.sumcheck import prove_cubic_with_three_inputs_device
 
             sc_proof_outer, r_x, claims_outer = prove_cubic_with_three_inputs_device(

@@ -266,3 +266,40 @@ def test_device_sumcheck_matches_host():
     assert r1 == r2 and c1 == c2
     for x, y in zip(p1.compressed_polys, p2.compressed_polys):
         assert x.coeffs_except_linear_term == y.coeffs_except_linear_term
+
+
+def test_masked_eq_table_matches_pointwise():
+    """Regression: the mask must zero the first 2^m entries (split at
+    n - m), not 2^(n-m) (src/spartan/polys/masked_eq.rs)."""
+    from nova_tpu.spartan.polys import MaskedEqPolynomial
+
+    f = PallasEngine.scalar
+    r = [rand(f) for _ in range(5)]
+    me = MaskedEqPolynomial(EqPolynomial(f, r), 3)
+    tab = me.evals()
+    assert all(v == 0 for v in tab[:8]) and any(v != 0 for v in tab[8:])
+    for x in range(32):
+        xv = [(x >> (4 - i)) & 1 for i in range(5)]
+        assert tab[x] == me.evaluate(xv)
+
+
+@pytest.mark.parametrize("num_vars", [16, 32])
+def test_ppsnark_relaxed_wide_shapes(num_vars):
+    """ppsnark on genuinely relaxed instances (nonzero E, u != 1) in the
+    N = 2*num_vars regime — the augmented-circuit configuration."""
+    from nova_tpu.nova.nifs import NIFS
+    from nova_tpu.spartan.ppsnark import RelaxedR1CSSNARK as PP
+
+    engine = PallasEngine
+    S = tiny_r1cs(engine, num_vars=num_vars)
+    ck = S.commitment_key(b"ck", max(PP.ck_floor(S), 4 * num_vars))
+    U1, W1 = satisfying_pair(engine, S, ck, 3)
+    U2, W2 = satisfying_pair(engine, S, ck, 5)
+    rU = RelaxedR1CSInstance.from_r1cs_instance(engine.curve, S, U1)
+    rW = RelaxedR1CSWitness.from_r1cs_witness(S, W1)
+    _, (rU, rW) = NIFS.prove(ck, engine, 99, S, rU, rW, U2, W2)
+    drW, bW, bE = rW.derandomize()
+    drU = rU.derandomize(CE.derand_key(ck), bW, bE)
+    pk, vk = PP.setup(engine, ck, S)
+    proof = PP.prove(engine, ck, pk, S, drU, drW)
+    proof.verify(vk, drU)
