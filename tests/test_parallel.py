@@ -2,6 +2,7 @@
 (conftest.py sets XLA_FLAGS; SURVEY.md §4 item 9: distributed testing is
 new ground for the TPU build)."""
 
+import os
 import random
 
 import pytest
@@ -35,10 +36,29 @@ def test_msm_sharded_matches_host():
 
 
 def test_sharded_fold_step_runs():
-    import jax
+    """Runs in a fresh subprocess: XLA:CPU segfaults compiling this
+    shard_map program when the host process is already large (reproduced
+    twice mid-suite; passes standalone), so isolate it."""
+    import subprocess
+    import sys
 
-    if len(jax.devices()) < 2:
-        pytest.skip("needs multiple devices")
-    mesh = make_mesh(len(jax.devices()))
-    out = run_sharded_fold_step(mesh, pallas.base, 64)
-    assert out is not None
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "flags = os.environ.get('XLA_FLAGS', '')\n"
+        "if 'host_platform_device_count' not in flags:\n"
+        "    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from nova_tpu.parallel import make_mesh, run_sharded_fold_step\n"
+        "from nova_tpu.curves.spec import pallas\n"
+        "out = run_sharded_fold_step(make_mesh(len(jax.devices())), pallas.base, 64)\n"
+        "assert out is not None\n"
+        "print('FOLD_STEP_OK')\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "FOLD_STEP_OK" in res.stdout
