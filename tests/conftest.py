@@ -19,3 +19,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU compilation segfaults intermittently once the host process
+    grows past ~10GB of live executables/traces; dropping in-process jit
+    caches between modules keeps it small (compiled programs reload from
+    the persistent cache)."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -244,28 +244,44 @@ def test_direct_snark_cubic():
 
 def test_device_sumcheck_matches_host():
     """The device-resident sumcheck must produce an identical transcript
-    (same round polynomials, challenges, final claims) as the host path."""
-    from nova_tpu.ops.sumcheck import prove_cubic_with_three_inputs_device
+    (same round polynomials, challenges, final claims) as the host path.
+    Runs in a subprocess: fresh XLA:CPU compiles segfault in large host
+    processes (same pathology as the shard_map tests)."""
+    import os
+    import subprocess
+    import sys
 
-    f = PallasEngine.scalar
-    n = 16
-    taus = [rand(f) for _ in range(4)]
-    A = [rand(f) for _ in range(n)]
-    B = [rand(f) for _ in range(n)]
-    C = [a * b % f.p for a, b in zip(A, B)]
-    t1 = PallasEngine.new_transcript(b"x")
-    p1, r1, c1 = SumcheckProof.prove_cubic_with_three_inputs(
-        f, 0, taus,
-        MultilinearPolynomial(f, A),
-        MultilinearPolynomial(f, B),
-        MultilinearPolynomial(f, C),
-        t1,
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import random\n"
+        "from nova_tpu.provider.engines import PallasEngine\n"
+        "from nova_tpu.spartan.polys import MultilinearPolynomial\n"
+        "from nova_tpu.spartan.sumcheck import SumcheckProof\n"
+        "from nova_tpu.ops.sumcheck import prove_cubic_with_three_inputs_device\n"
+        "rng = random.Random(0x5EED)\n"
+        "f = PallasEngine.scalar\n"
+        "n = 16\n"
+        "taus = [rng.randrange(f.p) for _ in range(4)]\n"
+        "A = [rng.randrange(f.p) for _ in range(n)]\n"
+        "B = [rng.randrange(f.p) for _ in range(n)]\n"
+        "C = [a * b %% f.p for a, b in zip(A, B)]\n"
+        "t1 = PallasEngine.new_transcript(b'x')\n"
+        "p1, r1, c1 = SumcheckProof.prove_cubic_with_three_inputs(f, 0, taus, MultilinearPolynomial(f, A), MultilinearPolynomial(f, B), MultilinearPolynomial(f, C), t1)\n"
+        "t2 = PallasEngine.new_transcript(b'x')\n"
+        "p2, r2, c2 = prove_cubic_with_three_inputs_device(f, 0, taus, A, B, C, t2)\n"
+        "assert r1 == r2 and c1 == c2\n"
+        "for x, y in zip(p1.compressed_polys, p2.compressed_polys):\n"
+        "    assert x.coeffs_except_linear_term == y.coeffs_except_linear_term\n"
+        "print('DEVICE_SUMCHECK_OK')\n"
+    ) % (root,)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
-    t2 = PallasEngine.new_transcript(b"x")
-    p2, r2, c2 = prove_cubic_with_three_inputs_device(f, 0, taus, A, B, C, t2)
-    assert r1 == r2 and c1 == c2
-    for x, y in zip(p1.compressed_polys, p2.compressed_polys):
-        assert x.coeffs_except_linear_term == y.coeffs_except_linear_term
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "DEVICE_SUMCHECK_OK" in res.stdout
 
 
 def test_masked_eq_table_matches_pointwise():
