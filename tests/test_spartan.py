@@ -6,7 +6,7 @@ import random
 
 import pytest
 
-from nova_tpu.provider.engines import PallasEngine, Bn256EngineIPA
+from nova_tpu.provider.engines import PallasEngine, Bn256EngineIPA, Secp256k1Engine
 from nova_tpu.provider.ipa import EvaluationEngine as IPA
 from nova_tpu.provider.pedersen import CommitmentEngine as CE
 from nova_tpu.r1cs import RelaxedR1CSInstance, RelaxedR1CSWitness
@@ -29,7 +29,7 @@ from nova_tpu.spartan.sumcheck import SumcheckProof
 
 from test_nifs import satisfying_pair, tiny_r1cs
 
-ENGINES = [PallasEngine, Bn256EngineIPA]
+ENGINES = [PallasEngine, Bn256EngineIPA, Secp256k1Engine]
 rng = random.Random(0x5EED)
 
 
