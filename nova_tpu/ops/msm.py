@@ -100,11 +100,9 @@ def digits_for_windows(limbs16: np.ndarray, c: int, num_windows: int) -> np.ndar
     return out
 
 
-def _window_bucket_sum_body(jf, c: int, rounds: int, d, bx, by, binf):
-    """One Pippenger window: returns the window sum as XYZZ (scalar point,
-    arrays of shape (16,)). Pure traced body — vmapped over windows inside
-    the fused _msm_kernel."""
-    field_p = jf.spec.p
+def _window_bucket_table_body(jf, c: int, rounds: int, d, bx, by, binf):
+    """One Pippenger window up to the dense bucket table (B, 16): sort by
+    digit, Brent-Kung segmented combine, scatter segment heads."""
     n = d.shape[0]
     num_buckets = 1 << c
 
@@ -139,6 +137,12 @@ def _window_bucket_sum_body(jf, c: int, rounds: int, d, bx, by, binf):
     buckets = {k: buckets[k].at[ids].set(vals[k]) for k in buckets}
     one_zero = xyzz_zero(jf, jnp.zeros((1, NUM_LIMBS), jnp.uint32))
     buckets = {k: buckets[k].at[0:1].set(one_zero[k]) for k in buckets}
+    return buckets
+
+
+def _bucket_table_to_sum(jf, c: int, buckets):
+    """Weighted bucket reduction sum_b b*B[b] via suffix scan + tree."""
+    num_buckets = 1 << c
 
     # suffix sums S[b] = sum_{b' >= b} B[b'] (Hillis-Steele, log2(B) rounds)
     bidx = jnp.arange(num_buckets, dtype=jnp.int32)
@@ -173,6 +177,14 @@ def _window_bucket_sum_body(jf, c: int, rounds: int, d, bx, by, binf):
     return {k: v[0] for k, v in T.items()}
 
 
+def _window_bucket_sum_body(jf, c: int, rounds: int, d, bx, by, binf):
+    """One full Pippenger window: bucket table + weighted reduction
+    (used by the sharded MSM path; the single-chip kernel splits the two
+    phases so bucket tables can accumulate across point chunks)."""
+    buckets = _window_bucket_table_body(jf, c, rounds, d, bx, by, binf)
+    return _bucket_table_to_sum(jf, c, buckets)
+
+
 # Peak-HBM budget in window-point units. With the fused Pallas point
 # kernels a window-point in flight costs ~0.5KB (4 XYZZ coords + a few
 # temps), so 2^21 window-points ≈ 4GB. The portable XLA path (CPU tests)
@@ -184,16 +196,19 @@ _WINDOW_POINT_BUDGET = 1 << 21
 def _msm_kernel(field_p: int, c: int, rounds: int, d_all, bx, by, binf):
     """The FUSED MSM: one device dispatch per call.
 
-    Points are processed in chunks (lax.scan) so peak HBM stays bounded;
-    within a chunk all windows' bucket sums run concurrently (vmap; lax.map
-    for 2^16-bucket windows). A window's sum decomposes over point chunks,
-    so chunk partials combine with one batched point-add per chunk.
+    Points are processed in chunks (lax.scan) so peak HBM stays bounded.
+    Each chunk contributes a dense bucket TABLE per window; tables
+    accumulate across chunks with one batched point-add per chunk (W*B
+    adds), and the weighted bucket reduction + Horner combine run once at
+    the end. This keeps the expensive suffix/tree phase out of the chunk
+    loop, which is what makes windows wider than 8 bits profitable.
 
     d_all: (W, N) uint32 digits. Returns (x, y, zz, zzz) each (16,) uint32
     in standard (non-Montgomery) form.
     """
     jf = JField._instances[field_p]
     W, n = d_all.shape
+    num_buckets = 1 << c
 
     chunk = max(1, _WINDOW_POINT_BUDGET // max(1, W))
     chunk = min(chunk, n)
@@ -211,17 +226,25 @@ def _msm_kernel(field_p: int, c: int, rounds: int, d_all, bx, by, binf):
         d_c, bx_c, by_c, binf_c = inp
 
         def one_window(d):
-            return _window_bucket_sum_body(jf, c, rounds, d, bx_c, by_c, binf_c)
+            return _window_bucket_table_body(jf, c, rounds, d, bx_c, by_c, binf_c)
 
         if c <= 10:
-            pts = jax.vmap(one_window)(d_c)  # dict of (W, 16)
+            tables = jax.vmap(one_window)(d_c)  # dict of (W, B, 16)
         else:
-            # 2^c-bucket tables are large; keep one window's table live
-            pts = jax.lax.map(one_window, d_c)
-        return xyzz_add(jf, carry, pts), None
+            tables = jax.lax.map(one_window, d_c)
+        return xyzz_add(jf, carry, tables), None
 
-    acc0 = xyzz_zero(jf, jnp.zeros((W, NUM_LIMBS), jnp.uint32))
-    window_pts, _ = jax.lax.scan(per_chunk, acc0, (d_k, bx_k, by_k, binf_k))
+    acc0 = xyzz_zero(jf, jnp.zeros((W, num_buckets, NUM_LIMBS), jnp.uint32))
+    tables, _ = jax.lax.scan(per_chunk, acc0, (d_k, bx_k, by_k, binf_k))
+
+    # weighted bucket reduction per window
+    def reduce_one(table):
+        return _bucket_table_to_sum(jf, c, table)
+
+    if c <= 10:
+        window_pts = jax.vmap(reduce_one)(tables)  # dict of (W, 16)
+    else:
+        window_pts = jax.lax.map(reduce_one, tables)
 
     # Horner from the top window down: acc = 2^c * acc + W_w
     rev = {k2: v[::-1] for k2, v in window_pts.items()}
@@ -269,10 +292,11 @@ def msm_device(
         bx, by, binf = bx[:n_pad], by[:n_pad], binf[:n_pad]
 
     if window is None:
-        # c=8 measures fastest through 2^16 with the fused point kernels
-        # (wider windows shrink combine rounds but the bucket-tree and
-        # compile costs outweigh it); revisit for 2^20+.
-        window = 8
+        # With bucket tables accumulated across point chunks the bucket
+        # tree runs once, so wide windows win: measured at 2^16 points
+        # c=8 1.82s / c=12 1.29s / c=13 0.93s (70k pts/s). Small inputs
+        # keep c=8 (the 2^13-bucket tree would dominate).
+        window = 13 if n_pad >= (1 << 14) else 8
     # msm_small fast path (reference msm.rs:469-530 bit-width routing):
     # only process windows covered by the widest scalar. Quantized to
     # powers of two so the jit signature takes few values.
