@@ -294,9 +294,12 @@ def msm_device(
     if window is None:
         # With bucket tables accumulated across point chunks the bucket
         # tree runs once, so wide windows win: measured at 2^16 points
-        # c=8 1.82s / c=12 1.29s / c=13 0.93s (70k pts/s). Small inputs
-        # keep c=8 (the 2^13-bucket tree would dominate).
-        window = 13 if n_pad >= (1 << 14) else 8
+        # c=8 1.82s / c=12 1.29s / c=13 0.90s (73k pts/s). Small inputs
+        # keep c=8 (the 2^13-bucket tree would dominate); very large
+        # inputs stay at c=8 for now — a c=13 run at 2^20 faulted the
+        # TPU worker (suspect HBM pressure in the chunked scan), pending
+        # diagnosis.
+        window = 13 if (1 << 14) <= n_pad <= (1 << 18) else 8
     # msm_small fast path (reference msm.rs:469-530 bit-width routing):
     # only process windows covered by the widest scalar. Quantized to
     # powers of two so the jit signature takes few values.
@@ -310,15 +313,21 @@ def msm_device(
     num_windows = min(q, full_windows)
 
     digits = digits_for_windows(limbs, window, num_windows)
-    # rounds must cover the largest bucket load. Quantize to an even count
-    # so the jit signature takes few distinct values (compile-cache reuse)
+    # rounds must cover the largest bucket load WITHIN a point chunk (the
+    # sorted combine runs per chunk; tables merge across chunks). Quantize
+    # to an even count so the jit signature takes few distinct values.
+    chunk = max(1, _WINDOW_POINT_BUDGET // max(1, num_windows))
+    chunk = min(chunk, n_pad)
+    while n_pad % chunk:
+        chunk //= 2
     max_load = 1
     for w in range(num_windows):
-        counts = np.bincount(digits[w])
-        if counts.size > 1:
-            max_load = max(max_load, int(counts[1:].max(initial=1)))
+        for off in range(0, n_pad, chunk):
+            counts = np.bincount(digits[w, off : off + chunk])
+            if counts.size > 1:
+                max_load = max(max_load, int(counts[1:].max(initial=1)))
     rounds = max(2, int(np.ceil(np.log2(max_load))) if max_load > 1 else 2)
-    rounds = min(((rounds + 1) // 2) * 2, max(1, n_pad.bit_length() - 1))
+    rounds = min(((rounds + 1) // 2) * 2, max(1, chunk.bit_length() - 1))
 
     d_dev = jnp.asarray(digits)
     x, y, zz, zzz = _msm_kernel(jf.spec.p, window, rounds, d_dev, bx, by, binf)
