@@ -7,18 +7,19 @@ any step. The public-parameter digest is stored alongside and re-checked on
 resume, so a checkpoint resumed against mismatched parameters fails fast
 (the reference achieves the same by binding pp.digest() into every hash).
 
-Format: a versioned pickle (the in-memory objects are plain Python
-ints/lists/dataclasses). Pedersen commitment keys round-trip separately via
-save_ck/load_ck with the reference's PEDERSEN_KEY-style header.
+Format: a versioned header + the typed structural encoding of
+nova_tpu.serde (checkpoints and proofs are adversarial inputs, so no
+pickle: decoding never executes constructors and validates every curve
+point). Pedersen commitment keys round-trip separately via save_ck/load_ck
+with the reference's PEDERSEN_KEY-style header.
 """
 
 from __future__ import annotations
 
-import io
-import pickle
 import struct
 from typing import Tuple
 
+from nova_tpu import serde
 from nova_tpu.errors import NovaError
 
 _MAGIC = b"NOVATPU1"
@@ -29,8 +30,8 @@ def save_recursive_snark(path: str, pp, rs) -> None:
     """Checkpoint an IVC computation after any step."""
     with open(path, "wb") as f:
         f.write(_MAGIC)
-        blob = pickle.dumps(
-            {"pp_digest": pp.digest(), "i": rs.i, "state": rs.__dict__}
+        blob = serde.dumps(
+            {"pp_digest": pp.digest(), "i": rs.i, "state": dict(rs.__dict__)}
         )
         f.write(struct.pack("<Q", len(blob)))
         f.write(blob)
@@ -45,7 +46,7 @@ def load_recursive_snark(path: str, pp):
         if f.read(8) != _MAGIC:
             raise NovaError("bad checkpoint magic")
         (n,) = struct.unpack("<Q", f.read(8))
-        d = pickle.loads(f.read(n))
+        d = serde.loads(f.read(n))
     if d["pp_digest"] != pp.digest():
         raise NovaError(
             "checkpoint was created under different public parameters "
@@ -94,11 +95,12 @@ def load_ck(path: str, curve):
 
 def proof_to_bytes(proof) -> bytes:
     """Serialize any proof object (CompressedSNARK, Spartan proofs,
-    evaluation arguments)."""
-    return _MAGIC + pickle.dumps(proof)
+    evaluation arguments) with the typed structural encoding."""
+    return _MAGIC + serde.dumps(proof)
 
 
 def proof_from_bytes(data: bytes):
+    """Typed decode: never executes constructors, validates points."""
     if data[:8] != _MAGIC:
         raise NovaError("bad proof encoding")
-    return pickle.loads(data[8:])
+    return serde.loads(data[8:])

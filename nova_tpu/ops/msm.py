@@ -212,7 +212,10 @@ def _msm_kernel(field_p: int, c: int, rounds: int, d_all, bx, by, binf):
 
     chunk = max(1, _WINDOW_POINT_BUDGET // max(1, W))
     chunk = min(chunk, n)
-    # n is a power of two (caller pads); keep chunk a power-of-two divisor
+    # round down to a power of two FIRST: repeated floor-halving of a
+    # non-power-of-two (e.g. 2^21//20) never divides a pow2 n and
+    # degenerated to chunk=1 (a 100k+-step lax.scan)
+    chunk = 1 << (chunk.bit_length() - 1)
     while n % chunk:
         chunk //= 2
     k = n // chunk
@@ -318,6 +321,7 @@ def msm_device(
     # to an even count so the jit signature takes few distinct values.
     chunk = max(1, _WINDOW_POINT_BUDGET // max(1, num_windows))
     chunk = min(chunk, n_pad)
+    chunk = 1 << (chunk.bit_length() - 1)
     while n_pad % chunk:
         chunk //= 2
     max_load = 1

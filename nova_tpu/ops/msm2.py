@@ -412,53 +412,108 @@ def _stage_xla(jf: JField, rounds: int, masks, pts: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _bucket_reduce_call(field_key, nb: int):
-    """sum_{i=0..nb-1} (i+1)*T[i] over an XYZZ table (16, nb), nb a power
-    of 2 (bucket b lives at slot b-1).
+_GROUP = 512  # bucket-reduce group width (VMEM-bounded like the stage chunk)
 
-    Two Hillis-Steele suffix-sum passes: S_i = sum_{j>=i} T_j, then
-    U_i = sum_{j>=i} S_j; the answer is U_0 = sum_i (i+1) T_i. Each pass is
-    log2(nb) fori_loop rounds of shift-and-add with a dynamic shift, so the
-    complete-add formula is instantiated twice total. Lanes shifted in from
-    beyond the table are ZZ=0 identities, so no masks are needed."""
+
+@functools.lru_cache(maxsize=None)
+def _bucket_reduce_call(field_key, nb: int, group: int):
+    """Per-group weighted reduction over an XYZZ table (16, nb) viewed as
+    nb/group groups of `group` lanes. For each group g outputs:
+      W_g = sum_{j=0..group-1} (j+1) * T[g*group + j]   (lane g*128 of U out)
+      S_g = sum_j T[g*group + j]                        (lane g*128 of S out)
+    via two Hillis-Steele suffix-sum passes (S after pass 1, U after pass
+    2); each pass is log2(group) fori rounds of dynamic-shift roll+add, so
+    the complete-add formula instantiates twice. Lanes rolled in from
+    beyond the group are forced to ZZ=0 identities."""
     field_p, p_limbs, n0inv, r_limbs = field_key
     o = _limb_ops(p_limbs, n0inv, r_limbs)
     NL = NUM_LIMBS
-    logb = int(np.log2(nb))
+    logb = int(np.log2(group))
 
-    def kernel(px, py, pzz, pzzz, ox, oy, ozz, ozzz):
-        P = tuple(ref[...] for ref in (px, py, pzz, pzzz))  # (16, nb) each
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NL, nb), 1)
+    def kernel(px, py, pzz, pzzz, sx, sy, szz, szzz, ux, uy, uzz, uzzz):
+        P = tuple(ref[...] for ref in (px, py, pzz, pzzz))  # (16, group)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NL, group), 1)
 
         def body(r, P):
             s = jnp.left_shift(jnp.int32(1), r)
             X, Y, ZZ, ZZZ = (
-                pltpu.roll(coord, nb - s, axis=1) for coord in P
+                pltpu.roll(coord, group - s, axis=1) for coord in P
             )
-            ZZ = jnp.where(lane < (nb - s), ZZ, jnp.uint32(0))
+            ZZ = jnp.where(lane < (group - s), ZZ, jnp.uint32(0))
             Q = (X, Y, ZZ, ZZZ)
             Pr = tuple([c[i, :] for i in range(NL)] for c in P)
             Qr = tuple([c[i, :] for i in range(NL)] for c in Q)
             S = _xyzz_add_limbs(o, Pr, Qr)
             return tuple(jnp.stack(rows_) for rows_ in S)
 
-        P = jax.lax.fori_loop(0, logb, body, P)  # suffix sums S
-        P = jax.lax.fori_loop(0, logb, body, P)  # suffix sums U of S
-
-        for dst, coord in zip((ox, oy, ozz, ozzz), P):
+        S = jax.lax.fori_loop(0, logb, body, P)
+        for dst, coord in zip((sx, sy, szz, szzz), S):
+            dst[...] = coord[:, :128]
+        U = jax.lax.fori_loop(0, logb, body, S)
+        for dst, coord in zip((ux, uy, uzz, uzzz), U):
             dst[...] = coord[:, :128]
 
+    grid = nb // group
+
     def call(x, y, zz, zzz):
-        out_shapes = [jax.ShapeDtypeStruct((NL, 128), jnp.uint32)] * 4
+        in_spec = pl.BlockSpec((NL, group), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((NL, 128), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out_shapes = [jax.ShapeDtypeStruct((NL, 128 * grid), jnp.uint32)] * 8
         return pl.pallas_call(
             kernel,
             out_shape=out_shapes,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            grid=(grid,),
+            in_specs=[in_spec] * 4,
+            out_specs=[out_spec] * 8,
         )(x, y, zz, zzz)
 
     return call
+
+
+def _bucket_reduce_pallas(jf: JField, table: dict) -> dict:
+    """Hierarchical sum_i (i+1)*T[i] over (16, nb), nb pow2 >= 128:
+    with groups of m = min(nb, _GROUP) lanes and i = g*m + j,
+      total = m * sum_g g*S_g + sum_g W_g,
+    where the group kernel yields (S_g, W_g), sum_g g*S_g feeds back
+    through the same kernel (table T'_i = S_{i+1}), and sum_g W_g uses its
+    S output. Single-group tables skip the combine."""
+    from nova_tpu.curves.jpoints import xyzz_add, xyzz_double
+
+    nb = table["x"].shape[1]
+    m = min(nb, _GROUP)
+    call = _bucket_reduce_call(_field_key(jf), nb, m)
+    outs = call(table["x"], table["y"], table["zz"], table["zzz"])
+    G = nb // m
+    S = {k: v.reshape(NUM_LIMBS, G, 128)[:, :, 0] for k, v in
+         zip(("x", "y", "zz", "zzz"), outs[:4])}
+    Wg = {k: v.reshape(NUM_LIMBS, G, 128)[:, :, 0] for k, v in
+          zip(("x", "y", "zz", "zzz"), outs[4:])}
+    if G == 1:
+        return {k: v[:, :1] for k, v in Wg.items()}
+
+    # pad to one group width and reuse the kernel at nb=m
+    def padded(src, shift):
+        out = {}
+        for k in ("x", "y", "zz", "zzz"):
+            z = jnp.zeros((NUM_LIMBS, m), jnp.uint32)
+            out[k] = z.at[:, : G - shift].set(src[k][:, shift:])
+        return out
+
+    call1 = _bucket_reduce_call(_field_key(jf), m, m)
+    # sum_g g*S_g: weighted sum of T'_i = S_{i+1}
+    o1 = call1(*[padded(S, 1)[k] for k in ("x", "y", "zz", "zzz")])
+    gS = {k: v[:, :1] for k, v in zip(("x", "y", "zz", "zzz"), o1[4:])}
+    # sum_g W_g: the S output (plain fold) of the W table
+    o2 = call1(*[padded(Wg, 0)[k] for k in ("x", "y", "zz", "zzz")])
+    sW = {k: v[:, :1] for k, v in zip(("x", "y", "zz", "zzz"), o2[:4])}
+
+    # total = m * gS + sW  (m is a power of two: log2(m) doublings)
+    accT = {k: v.T for k, v in gS.items()}  # jpoints layout (1, 16)
+    for _ in range(int(np.log2(m))):
+        accT = xyzz_double(jf, accT)
+    sWT = {k: v.T for k, v in sW.items()}
+    totT = xyzz_add(jf, accT, sWT)
+    return {k: v.T for k, v in totT.items()}
 
 
 def _bucket_reduce(jf: JField, table: dict) -> dict:
@@ -467,9 +522,7 @@ def _bucket_reduce(jf: JField, table: dict) -> dict:
     nb = table["x"].shape[1]
     assert nb & (nb - 1) == 0
     if _use_pallas():
-        call = _bucket_reduce_call(_field_key(jf), nb)
-        x, y, zz, zzz = call(table["x"], table["y"], table["zz"], table["zzz"])
-        return {"x": x[:, :1], "y": y[:, :1], "zz": zz[:, :1], "zzz": zzz[:, :1]}
+        return _bucket_reduce_pallas(jf, table)
     from nova_tpu.curves.jpoints import xyzz_add, xyzz_double, xyzz_zero
 
     pT = {k: v.T for k, v in table.items()}  # (nb, 16)

@@ -61,7 +61,12 @@ def setup_from_tau(tau: int, n: int) -> Tuple[CommitmentKey, G2Point]:
         pts = native.ec_mul_many([g] * n_pow2, powers)
     else:
         pts = [g.mul(s) for s in powers]
-    h = g.mul(int.from_bytes(b"hyperkzg-blind", "little") % r)
+    # blinding generator from hash-to-curve, never a known multiple of G
+    # (a public discrete log of h w.r.t. G breaks Pedersen binding of
+    # blinded commitments; reference hyperkzg.rs:386,672 uses from_label)
+    from nova_tpu.provider.pedersen import from_label
+
+    h = from_label(bn254, b"h", 1)[0]
     ck = CommitmentKey(bn254, pts, h)
     tau_H = G2Point.generator().mul(tau)
     ck._tau_H = tau_H  # travels with the key so EE.setup can find it

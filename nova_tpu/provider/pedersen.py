@@ -12,7 +12,8 @@ commitments dispatch to the TPU MSM.
 from __future__ import annotations
 
 import os
-import pickle
+
+import numpy as np
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -171,6 +172,25 @@ class Commitment:
         ro.absorb(1 if inf else 0)
 
 
+def _load_gen_cache(path, curve, num):
+    """Load cached generators from the raw .npy format (rows of
+    x[32] | y[32] | inf[1], little-endian). No pickle: generator caches are
+    local but the loader stays typed anyway (allow_pickle=False)."""
+    with open(path, "rb") as fh:
+        rows = np.load(fh, allow_pickle=False)
+    rows = rows[:num]
+    out = []
+    for r in rows:
+        inf = bool(r[64])
+        if inf:
+            out.append(AffinePoint.identity(curve))
+        else:
+            x = int.from_bytes(r[:32].tobytes(), "little")
+            y = int.from_bytes(r[32:64].tobytes(), "little")
+            out.append(AffinePoint(curve, x, y))
+    return out
+
+
 class CommitmentEngine:
     """Pedersen commitment engine (CommitmentEngineTrait impl)."""
 
@@ -178,34 +198,41 @@ class CommitmentEngine:
     def setup(curve: CurveSpec, label: bytes, n: int) -> CommitmentKey:
         num = _next_pow2(n) + 1
         cache = os.path.join(
-            _KEY_CACHE_DIR, f"ck_{curve.name}_{label.decode()}_{num}.pkl"
+            _KEY_CACHE_DIR, f"ck_{curve.name}_{label.decode()}_{num}.npy"
         )
         if os.path.exists(cache):
-            with open(cache, "rb") as fh:
-                pts = pickle.load(fh)
-            gens = [AffinePoint(curve, x, y, inf) for (x, y, inf) in pts]
+            gens = _load_gen_cache(cache, curve, num)
         else:
             # reuse a larger cached key if present
             gens = None
             if os.path.isdir(_KEY_CACHE_DIR):
                 prefix = f"ck_{curve.name}_{label.decode()}_"
                 for fn in os.listdir(_KEY_CACHE_DIR):
-                    if fn.startswith(prefix) and fn.endswith(".pkl"):
+                    if fn.startswith(prefix) and fn.endswith(".npy"):
                         try:
                             m = int(fn[len(prefix) : -4])
                         except ValueError:
                             continue
                         if m >= num:
-                            with open(os.path.join(_KEY_CACHE_DIR, fn), "rb") as fh:
-                                pts = pickle.load(fh)[:num]
-                            gens = [AffinePoint(curve, x, y, inf) for (x, y, inf) in pts]
+                            gens = _load_gen_cache(
+                                os.path.join(_KEY_CACHE_DIR, fn), curve, num
+                            )
                             break
             if gens is None:
                 gens = from_label(curve, label, num)
                 os.makedirs(_KEY_CACHE_DIR, exist_ok=True)
                 tmp = cache + ".tmp"
+                rows = np.zeros((len(gens), 65), dtype=np.uint8)
+                for i, g in enumerate(gens):
+                    rows[i, :32] = np.frombuffer(
+                        g.x.to_bytes(32, "little"), dtype=np.uint8
+                    )
+                    rows[i, 32:64] = np.frombuffer(
+                        g.y.to_bytes(32, "little"), dtype=np.uint8
+                    )
+                    rows[i, 64] = 1 if g.infinity else 0
                 with open(tmp, "wb") as fh:
-                    pickle.dump([(g.x, g.y, g.infinity) for g in gens], fh)
+                    np.save(fh, rows, allow_pickle=False)
                 os.replace(tmp, cache)
         h, ck = gens[0], gens[1:]
         return CommitmentKey(curve, ck, h)

@@ -219,8 +219,13 @@ def load_ck_from_ptau(path, n: int):
 
     n_pow2 = 1 if n <= 1 else 1 << (n - 1).bit_length()
     with open(path, "rb") as f:
-        g1, g2 = read_ptau(f, n_pow2 + 1, 2)
-    ck = CommitmentKey(bn254, g1[:n_pow2], g1[n_pow2])
+        g1, g2 = read_ptau(f, n_pow2, 2)
+    # blinding generator via from_label, independent of the tau powers
+    # (reference hyperkzg.rs:660-675 load_setup); reading exactly n_pow2 G1
+    # points keeps 2^k-sized pruned files loadable for 2^k keys
+    from nova_tpu.provider.pedersen import from_label
+
+    ck = CommitmentKey(bn254, g1[:n_pow2], from_label(bn254, b"h", 1)[0])
     ck._tau_H = g2[1]
     return ck
 
