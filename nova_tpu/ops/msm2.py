@@ -287,81 +287,132 @@ def _xyzz_double_limbs(o, P):
 # ---------------------------------------------------------------------------
 
 
+def _row_shift_dyn(t, s):
+    """partner[f] = row[f+s] on a limb row shaped (rows, 128) (flat index
+    f = 128*sub + lane), s a TRACED int32 in [1, 128): a dynamic lane-roll
+    blended with a static sublane-roll at the lane boundary — all
+    layout-preserving (dynamic SUBLANE rolls do not lower, so callers keep
+    traced shifts under 128). The last s flat lanes wrap garbage; callers
+    mask ZZ there so wrapped partners act as identities."""
+    rows = t.shape[0]
+    a = pltpu.roll(t, 128 - s, axis=1)  # a[i,j] = t[i, (j+s) % 128]
+    b = pltpu.roll(a, rows - 1, axis=0)  # b[i] = a[i+1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    return jnp.where(lane < (128 - s), a, b)
+
+
+def _row_shift_static(t, s: int):
+    """Same as _row_shift_dyn for a STATIC python-int shift (any s)."""
+    rows = t.shape[0]
+    q, rem = divmod(s, 128)
+    a = pltpu.roll(t, (128 - rem) % 128, axis=1)
+    b1 = pltpu.roll(a, (rows - q) % rows, axis=0)
+    b2 = pltpu.roll(a, (rows - q - 1) % rows, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    return jnp.where(lane < (128 - rem), b1, b2)
+
+
+def _flat_iota2(rows: int):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    return sub * 128 + lane
+
+
 @functools.lru_cache(maxsize=None)
 def _stage_call(field_key, rounds: int, n: int, chunk: int):
-    """Stage pallas_call: `rounds` (<= 8) combine rounds over n lanes in
-    chunks of `chunk`. Inputs: mask (8, n+PAD) uint32 (row r = round r
-    active lanes) and 4 coords (16, n+PAD); outputs 4 coords (16, n). Each
-    grid step reads its chunk plus the next PAD lanes. The round loop is a
-    fori_loop with a dynamic shift so the (large) complete-add formula is
-    instantiated exactly once per kernel."""
-    assert rounds <= 8 and chunk % PAD == 0 and n % chunk == 0
+    """Stage pallas_call: `rounds` (<= 7, so all shifts stay under 128)
+    combine rounds over n lanes in chunks of `chunk`.
+
+    Layout: chunk-major packed coords (grid+1, 4, 16, chunk/128, 128) so
+    each grid step is ONE contiguous DMA for its chunk plus one for the
+    next chunk (the overlap pad; only PAD lanes of it are used) — sliced
+    multi-dim DMAs fault the TPU runtime, and BlockSpec windows would need
+    block heights divisible by 8. Masks arrive as (grid+1, 8, chunk/128,
+    128). Limb rows live as (rows, 128) tiles; partner shifts are
+    layout-preserving rolls (_row_shift_dyn); segment merges cross chunk
+    boundaries exactly because pad lanes recompute the same rounds."""
+    assert rounds <= 7 and chunk % PAD == 0 and n % chunk == 0
     field_p, p_limbs, n0inv, r_limbs = field_key
     o = _limb_ops(p_limbs, n0inv, r_limbs)
     NL = NUM_LIMBS
     width = chunk + PAD
+    c128 = chunk // 128
+    p128 = PAD // 128
+    w128 = width // 128
+    grid = n // chunk
 
-    def kernel(mask_ref, mask_pad_ref,
-               px, px2, py, py2, pzz, pzz2, pzzz, pzzz2,
-               ox, oy, ozz, ozzz):
-        # coords as 2-D (16, width): lane-rolls are supported in 2-D only
+    def kernel(coords_hbm, mask_hbm, out_hbm,
+               cmain, cpad, mmain, mpad, obuf, sem):
+        i = pl.program_id(0)
+        cps = []
+        for slot, (src_i, dst) in enumerate(
+            [(i, cmain), (i + 1, cpad)]
+        ):
+            cp = pltpu.make_async_copy(
+                coords_hbm.at[src_i], dst, sem.at[slot]
+            )
+            cp.start()
+            cps.append(cp)
+        for slot, (src_i, dst) in enumerate(
+            [(i, mmain), (i + 1, mpad)], start=2
+        ):
+            cp = pltpu.make_async_copy(mask_hbm.at[src_i], dst, sem.at[slot])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
         P = tuple(
-            jnp.concatenate([main[...], padd[...]], axis=1)
-            for main, padd in ((px, px2), (py, py2), (pzz, pzz2), (pzzz, pzzz2))
+            [
+                jnp.concatenate([cmain[c, l], cpad[c, l][:p128]], axis=0)
+                for l in range(NL)
+            ]
+            for c in range(4)
         )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NL, width), 1)
+        flat = _flat_iota2(w128)
 
         def body(r, P):
-            # partner[j] = coord[:, j+s]; wrapped tail lanes forced to the
-            # identity (zz = 0) so they add as no-ops
             s = jnp.left_shift(jnp.int32(1), r)
             X, Y, ZZ, ZZZ = (
-                pltpu.roll(coord, width - s, axis=1) for coord in P
+                [_row_shift_dyn(row, s) for row in coord] for coord in P
             )
-            ZZ = jnp.where(lane < (width - s), ZZ, jnp.uint32(0))
+            # wrapped tail lanes act as identities (zz = 0)
+            tail = flat < (width - s)
+            ZZ = [jnp.where(tail, row, jnp.uint32(0)) for row in ZZ]
             Q = (X, Y, ZZ, ZZZ)
             active = (
-                jnp.concatenate(
-                    [mask_ref[pl.ds(r, 1), :], mask_pad_ref[pl.ds(r, 1), :]],
-                    axis=1,
-                )
-                > 0
-            )[0:1]
-            Pr = tuple([c[i, :] for i in range(NL)] for c in P)
-            Qr = tuple([c[i, :] for i in range(NL)] for c in Q)
-            S = _xyzz_add_limbs(o, Pr, Qr)
-            S2 = tuple(jnp.stack(rows_) for rows_ in S)
-            return tuple(
-                jnp.where(active, S2i, Pi) for S2i, Pi in zip(S2, P)
+                jnp.concatenate([mmain[r], mpad[r][:p128]], axis=0) > 0
             )
+            S = _xyzz_add_limbs(o, P, Q)
+            return tuple(o.sel(active, Si, Pi) for Si, Pi in zip(S, P))
 
         P = jax.lax.fori_loop(0, rounds, body, P)
 
-        for dst, coord in zip((ox, oy, ozz, ozzz), P):
-            dst[...] = coord[:, :chunk]
+        for c, coord in enumerate(P):
+            for l in range(NL):
+                obuf[c, l] = coord[l][:c128]
+        cp = pltpu.make_async_copy(obuf, out_hbm.at[i], sem.at[4])
+        cp.start()
+        cp.wait()
 
-    grid = n // chunk
-    cpb = chunk // PAD  # chunk measured in PAD-sized blocks
-
-    main_spec = pl.BlockSpec((NL, chunk), lambda i: (0, i), memory_space=pltpu.VMEM)
-    pad_spec = pl.BlockSpec(
-        (NL, PAD), lambda i: (0, (i + 1) * cpb), memory_space=pltpu.VMEM
-    )
-    mask_spec = pl.BlockSpec((8, chunk), lambda i: (0, i), memory_space=pltpu.VMEM)
-    mask_pad_spec = pl.BlockSpec(
-        (8, PAD), lambda i: (0, (i + 1) * cpb), memory_space=pltpu.VMEM
-    )
-
-    def call(mask, x, y, zz, zzz):
-        out_spec = pl.BlockSpec((NL, chunk), lambda i: (0, i), memory_space=pltpu.VMEM)
-        out_shapes = [jax.ShapeDtypeStruct((NL, n), jnp.uint32)] * 4
+    def call(coords, mask):
+        # coords: (grid+1, 4, NL, c128, 128); mask: (grid+1, 8, c128, 128)
+        out_shape = jax.ShapeDtypeStruct((grid, 4, NL, c128, 128), jnp.uint32)
         return pl.pallas_call(
             kernel,
-            out_shape=out_shapes,
+            out_shape=out_shape,
             grid=(grid,),
-            in_specs=[mask_spec, mask_pad_spec] + [main_spec, pad_spec] * 4,
-            out_specs=[out_spec] * 4,
-        )(mask, mask, x, x, y, y, zz, zz, zzz, zzz)
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((4, NL, c128, 128), jnp.uint32),
+                pltpu.VMEM((4, NL, c128, 128), jnp.uint32),
+                pltpu.VMEM((8, c128, 128), jnp.uint32),
+                pltpu.VMEM((8, c128, 128), jnp.uint32),
+                pltpu.VMEM((4, NL, c128, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((5,)),
+            ],
+        )(coords, mask)
 
     return call
 
@@ -374,16 +425,27 @@ def _stage(jf: JField, rounds: int, masks, pts: dict, chunk: int) -> dict:
     while chunk > PAD and n % chunk:
         chunk //= 2
     if _use_pallas() and n % chunk == 0 and chunk % PAD == 0:
-        padz = jnp.zeros((NUM_LIMBS, PAD), jnp.uint32)
-        m8 = jnp.zeros((8, n + PAD), jnp.uint32)
+        NL = NUM_LIMBS
+        grid = n // chunk
+        c128 = chunk // 128
+        # pack to chunk-major (grid+1, 4, NL, c128, 128); the +1 chunk is
+        # an all-identity pad chunk
+        stacked = jnp.stack([pts[k] for k in ("x", "y", "zz", "zzz")])
+        stacked = jnp.concatenate(
+            [stacked, jnp.zeros((4, NL, chunk), jnp.uint32)], axis=2
+        )
+        coords = stacked.reshape(4, NL, grid + 1, c128, 128).transpose(
+            2, 0, 1, 3, 4
+        )
+        m8 = jnp.zeros((8, (grid + 1) * chunk), jnp.uint32)
         m8 = m8.at[:rounds, :n].set(masks)
-        coords = [
-            jnp.concatenate([pts[k], padz], axis=1)
-            for k in ("x", "y", "zz", "zzz")
-        ]
+        m8 = m8.reshape(8, grid + 1, c128, 128).transpose(1, 0, 2, 3)
         call = _stage_call(_field_key(jf), rounds, n, chunk)
-        x, y, zz, zzz = call(m8, *coords)
-        return {"x": x, "y": y, "zz": zz, "zzz": zzz}
+        out = call(coords, m8)  # (grid, 4, NL, c128, 128)
+        out = out.transpose(1, 2, 0, 3, 4).reshape(4, NL, n)
+        return {
+            k: out[i] for i, k in enumerate(("x", "y", "zz", "zzz"))
+        }
     return _stage_xla(jf, rounds, masks, pts)
 
 
@@ -412,60 +474,89 @@ def _stage_xla(jf: JField, rounds: int, masks, pts: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-_GROUP = 512  # bucket-reduce group width (VMEM-bounded like the stage chunk)
+_GROUP = 256  # bucket-reduce group width (keeps dynamic shifts < 128)
 
 
 @functools.lru_cache(maxsize=None)
 def _bucket_reduce_call(field_key, nb: int, group: int):
-    """Per-group weighted reduction over an XYZZ table (16, nb) viewed as
-    nb/group groups of `group` lanes. For each group g outputs:
-      W_g = sum_{j=0..group-1} (j+1) * T[g*group + j]   (lane g*128 of U out)
-      S_g = sum_j T[g*group + j]                        (lane g*128 of S out)
+    """Per-group weighted reduction over an XYZZ table of nb slots viewed
+    as nb/group groups of `group` lanes. For each group g outputs:
+      W_g = sum_{j=0..group-1} (j+1) * T[g*group + j]   (flat lane 0 of U)
+      S_g = sum_j T[g*group + j]                        (flat lane 0 of S)
     via two Hillis-Steele suffix-sum passes (S after pass 1, U after pass
-    2); each pass is log2(group) fori rounds of dynamic-shift roll+add, so
-    the complete-add formula instantiates twice. Lanes rolled in from
-    beyond the group are forced to ZZ=0 identities."""
+    2). Shifts < 128 run in a fori_loop (one add instantiation per pass);
+    shifts >= 128 run as static rounds (dynamic sublane rolls do not
+    lower). Input arrives group-major (grid, 4, 16, group/128, 128) so the
+    per-step window is ONE contiguous DMA; outputs (grid, 8, 16, 1, 128)
+    likewise."""
     field_p, p_limbs, n0inv, r_limbs = field_key
     o = _limb_ops(p_limbs, n0inv, r_limbs)
     NL = NUM_LIMBS
     logb = int(np.log2(group))
+    g128 = group // 128
+    grid = nb // group
 
-    def kernel(px, py, pzz, pzzz, sx, sy, szz, szzz, ux, uy, uzz, uzzz):
-        P = tuple(ref[...] for ref in (px, py, pzz, pzzz))  # (16, group)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NL, group), 1)
+    def kernel(tab_hbm, out_hbm, buf, obuf, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(tab_hbm.at[i], buf, sem.at[0])
+        cp.start()
+        cp.wait()
+
+        P = tuple([buf[c, l] for l in range(NL)] for c in range(4))
+        flat = _flat_iota2(g128)
+
+        def round_with(P, shifted, tail):
+            X, Y, ZZ, ZZZ = (
+                [shifted(row) for row in coord] for coord in P
+            )
+            ZZ = [jnp.where(tail, row, jnp.uint32(0)) for row in ZZ]
+            return _xyzz_add_limbs(o, P, (X, Y, ZZ, ZZZ))
 
         def body(r, P):
             s = jnp.left_shift(jnp.int32(1), r)
-            X, Y, ZZ, ZZZ = (
-                pltpu.roll(coord, group - s, axis=1) for coord in P
+            return round_with(
+                P, lambda row: _row_shift_dyn(row, s), flat < (group - s)
             )
-            ZZ = jnp.where(lane < (group - s), ZZ, jnp.uint32(0))
-            Q = (X, Y, ZZ, ZZZ)
-            Pr = tuple([c[i, :] for i in range(NL)] for c in P)
-            Qr = tuple([c[i, :] for i in range(NL)] for c in Q)
-            S = _xyzz_add_limbs(o, Pr, Qr)
-            return tuple(jnp.stack(rows_) for rows_ in S)
 
-        S = jax.lax.fori_loop(0, logb, body, P)
-        for dst, coord in zip((sx, sy, szz, szzz), S):
-            dst[...] = coord[:, :128]
-        U = jax.lax.fori_loop(0, logb, body, S)
-        for dst, coord in zip((ux, uy, uzz, uzzz), U):
-            dst[...] = coord[:, :128]
+        def suffix_pass(P):
+            P = jax.lax.fori_loop(0, min(logb, 7), body, P)
+            for r in range(7, logb):
+                sh = 1 << r
+                P = round_with(
+                    P,
+                    lambda row, sh=sh: _row_shift_static(row, sh),
+                    flat < (group - sh),
+                )
+            return P
 
-    grid = nb // group
+        S = suffix_pass(P)
+        for c, coord in enumerate(S):
+            for l in range(NL):
+                obuf[c, l] = coord[l][:1]
+        U = suffix_pass(S)
+        for c, coord in enumerate(U):
+            for l in range(NL):
+                obuf[4 + c, l] = coord[l][:1]
 
-    def call(x, y, zz, zzz):
-        in_spec = pl.BlockSpec((NL, group), lambda i: (0, i), memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((NL, 128), lambda i: (0, i), memory_space=pltpu.VMEM)
-        out_shapes = [jax.ShapeDtypeStruct((NL, 128 * grid), jnp.uint32)] * 8
+        cpo = pltpu.make_async_copy(obuf, out_hbm.at[i], sem.at[1])
+        cpo.start()
+        cpo.wait()
+
+    def call(tab):
+        # tab: (grid, 4, NL, g128, 128)
+        out_shape = jax.ShapeDtypeStruct((grid, 8, NL, 1, 128), jnp.uint32)
         return pl.pallas_call(
             kernel,
-            out_shape=out_shapes,
+            out_shape=out_shape,
             grid=(grid,),
-            in_specs=[in_spec] * 4,
-            out_specs=[out_spec] * 8,
-        )(x, y, zz, zzz)
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((4, NL, g128, 128), jnp.uint32),
+                pltpu.VMEM((8, NL, 1, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )(tab)
 
     return call
 
@@ -479,33 +570,39 @@ def _bucket_reduce_pallas(jf: JField, table: dict) -> dict:
     S output. Single-group tables skip the combine."""
     from nova_tpu.curves.jpoints import xyzz_add, xyzz_double
 
+    keys = ("x", "y", "zz", "zzz")
     nb = table["x"].shape[1]
     m = min(nb, _GROUP)
-    call = _bucket_reduce_call(_field_key(jf), nb, m)
-    outs = call(table["x"], table["y"], table["zz"], table["zzz"])
     G = nb // m
-    S = {k: v.reshape(NUM_LIMBS, G, 128)[:, :, 0] for k, v in
-         zip(("x", "y", "zz", "zzz"), outs[:4])}
-    Wg = {k: v.reshape(NUM_LIMBS, G, 128)[:, :, 0] for k, v in
-          zip(("x", "y", "zz", "zzz"), outs[4:])}
+    call = _bucket_reduce_call(_field_key(jf), nb, m)
+
+    def pack(tbl, size):
+        st = jnp.stack([tbl[k] for k in keys])  # (4, NL, size)
+        return st.reshape(4, NUM_LIMBS, size // m, m // 128, 128).transpose(
+            2, 0, 1, 3, 4
+        )
+
+    outs = call(pack(table, nb))  # (G, 8, NL, 1, 128)
+    S = {k: outs[:, c, :, 0, 0].T for c, k in enumerate(keys)}
+    Wg = {k: outs[:, 4 + c, :, 0, 0].T for c, k in enumerate(keys)}
     if G == 1:
         return {k: v[:, :1] for k, v in Wg.items()}
 
     # pad to one group width and reuse the kernel at nb=m
     def padded(src, shift):
         out = {}
-        for k in ("x", "y", "zz", "zzz"):
+        for k in keys:
             z = jnp.zeros((NUM_LIMBS, m), jnp.uint32)
             out[k] = z.at[:, : G - shift].set(src[k][:, shift:])
         return out
 
     call1 = _bucket_reduce_call(_field_key(jf), m, m)
     # sum_g g*S_g: weighted sum of T'_i = S_{i+1}
-    o1 = call1(*[padded(S, 1)[k] for k in ("x", "y", "zz", "zzz")])
-    gS = {k: v[:, :1] for k, v in zip(("x", "y", "zz", "zzz"), o1[4:])}
+    o1 = call1(pack(padded(S, 1), m))
+    gS = {k: o1[0, 4 + c, :, 0, :1] for c, k in enumerate(keys)}
     # sum_g W_g: the S output (plain fold) of the W table
-    o2 = call1(*[padded(Wg, 0)[k] for k in ("x", "y", "zz", "zzz")])
-    sW = {k: v[:, :1] for k, v in zip(("x", "y", "zz", "zzz"), o2[:4])}
+    o2 = call1(pack(padded(Wg, 0), m))
+    sW = {k: o2[0, c, :, 0, :1] for c, k in enumerate(keys)}
 
     # total = m * gS + sW  (m is a power of two: log2(m) doublings)
     accT = {k: v.T for k, v in gS.items()}  # jpoints layout (1, 16)
@@ -728,6 +825,68 @@ def msm_windows_device(jf: JField, signed_d, bx, by, binf, c: int, chunk: int):
 
 
 # ---------------------------------------------------------------------------
+# fixed-base path: precomputed window-shifted bases, one joint window space
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _precompute_shifted(field_p: int, c: int, W: int, bx, by, binf):
+    """Affine shifted bases for the fixed-base MSM: window w holds
+    2^(c*w) * B_i for every base. Returns (16, W*n) x/y (Montgomery) and
+    (W*n,) inf flags. W*c doublings + a batched inversion per window, all
+    on device — run once per (key, size) and cached."""
+    from nova_tpu.curves.jpoints import xyzz_double
+
+    jf = JField._instances[field_p]
+    n = bx.shape[1]
+    one = jnp.broadcast_to(jnp.asarray(jf.r_limbs, jnp.uint32), (n, NUM_LIMBS))
+    xT, yT = bx.T, by.T
+    zzT = jnp.where(~binf[:, None], one, 0)
+    pts0 = {"x": xT, "y": yT, "zz": zzT, "zzz": zzT}
+
+    def step(pts, _):
+        # c doublings, then normalize a snapshot to affine with one
+        # batched inversion over [zz; zzz]
+        for _ in range(c):
+            pts = xyzz_double(jf, pts)
+        both = jnp.concatenate([pts["zz"], pts["zzz"]], axis=0)
+        pad = _next_pow2(both.shape[0]) - both.shape[0]
+        if pad:
+            both = jnp.concatenate(
+                [both, jnp.broadcast_to(one[:1], (pad, NUM_LIMBS))], axis=0
+            )
+        inv = jf.batch_inv_tree(both)
+        x_aff = jf.mont_mul(pts["x"], inv[:n])
+        y_aff = jf.mont_mul(pts["y"], inv[n : 2 * n])
+        return pts, (x_aff, y_aff, jf.is_zero(pts["zz"]))
+
+    _, (xs, ys, infs) = jax.lax.scan(step, pts0, None, length=W - 1)
+    # xs: (W-1, n, 16) -> (16, (W-1)*n)
+    fx = jnp.concatenate([bx, xs.reshape((W - 1) * n, NUM_LIMBS).T], axis=1)
+    fy = jnp.concatenate([by, ys.reshape((W - 1) * n, NUM_LIMBS).T], axis=1)
+    finf = jnp.concatenate([binf, infs.reshape((W - 1) * n)])
+    return fx, fy, finf
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm2_fixed_program(field_p: int, c: int, chunk: int, limbs, fx, fy, finf):
+    """Fixed-base MSM: ONE joint window space over W*n (point, digit)
+    pairs — one sort, one stage cascade, one bucket reduction, no Horner.
+    Amortizes every per-window overhead of the general path W-fold."""
+    jf = JField._instances[field_p]
+    num_windows = (255 + c - 1) // c + 1
+    n = limbs.shape[0]
+    signed_d = signed_digits_device(limbs, c, num_windows)  # (W, n)
+    d = signed_d.reshape(num_windows * n)
+    absd = jnp.where(finf, 0, jnp.abs(d))
+    neg_fy = _negate_y(jf, fy)
+    sy = jnp.where((d < 0)[None, :], neg_fy, fy)
+    nb = 1 << (c - 1)
+    s = _window_sum(jf, absd, fx, sy, chunk, nb)
+    return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
+
+
+# ---------------------------------------------------------------------------
 # host-facing API
 # ---------------------------------------------------------------------------
 
@@ -746,6 +905,19 @@ class DeviceBases2:
         self.y = jnp.asarray(to_mont(jnp.asarray(ys))).T
         self.inf = jnp.asarray(np.array([p.infinity for p in points], dtype=bool))
         self.n = len(points)
+        self._fixed = {}  # (c, n_pad) -> (fx, fy, finf) shifted bases
+
+    def fixed(self, c: int, n_pad: int):
+        """Precomputed window-shifted bases for the fixed-base MSM path
+        (cached per (window, size); ~W*c doublings on device, once)."""
+        key = (c, n_pad)
+        if key not in self._fixed:
+            bx, by, binf = _sized(self, n_pad)
+            W = (255 + c - 1) // c + 1
+            self._fixed[key] = _precompute_shifted(
+                self.jf.spec.p, c, W, bx, by, binf
+            )
+        return self._fixed[key]
 
     _cache: dict = {}
 
@@ -776,29 +948,8 @@ def _row_to_int(row) -> int:
     )
 
 
-def msm_device2(
-    scalars: Sequence[int],
-    bases=None,
-    device_bases: Optional[DeviceBases2] = None,
-    window: Optional[int] = None,
-):
-    """MSM with host int scalars, device compute, exact host Horner finish.
-    `device_bases` reuses a marshalled commitment key."""
-    from nova_tpu.curves.spec import AffinePoint
-
-    n = len(scalars)
-    if n == 0:
-        raise ValueError("empty msm")
-    if device_bases is None:
-        device_bases = DeviceBases2(bases[0].curve, bases)
-    curve = device_bases.curve
-    jf = JField(curve.base)
-
-    n_pad = max(512, _next_pow2(n))
-    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
-    limbs = np.zeros((n_pad, 16), dtype=np.uint32)
-    limbs[:n] = np.frombuffer(buf, dtype="<u2").reshape(n, 16).astype(np.uint32)
-
+def _sized(device_bases: DeviceBases2, n_pad: int):
+    """Base arrays padded/truncated to n_pad lanes (pad lanes -> inf)."""
     bx, by, binf = device_bases.x, device_bases.y, device_bases.inf
     if device_bases.n < n_pad:
         padn = n_pad - device_bases.n
@@ -807,28 +958,86 @@ def msm_device2(
         binf = jnp.concatenate([binf, jnp.ones((padn,), bool)])
     elif device_bases.n > n_pad:
         bx, by, binf = bx[:, :n_pad], by[:, :n_pad], binf[:n_pad]
+    return bx, by, binf
+
+
+def _scalar_limbs(scalars, n_pad: int) -> np.ndarray:
+    buf = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    limbs = np.zeros((n_pad, 16), dtype=np.uint32)
+    limbs[: len(scalars)] = (
+        np.frombuffer(buf, dtype="<u2").reshape(len(scalars), 16).astype(np.uint32)
+    )
+    return limbs
+
+
+def _xyzz_row_to_affine(curve, wins, w=None):
+    f = curve.base
+    from nova_tpu.curves.spec import AffinePoint
+
+    pick = (lambda a: a[w]) if w is not None else (lambda a: a)
+    zz = _row_to_int(pick(wins["zz"]))
+    if zz == 0:
+        return AffinePoint.identity(curve)
+    x = _row_to_int(pick(wins["x"]))
+    y = _row_to_int(pick(wins["y"]))
+    zzz = _row_to_int(pick(wins["zzz"]))
+    return AffinePoint(curve, f.mul(x, f.inv(zz)), f.mul(y, f.inv(zzz)))
+
+
+def msm_device2(
+    scalars: Sequence[int],
+    bases=None,
+    device_bases: Optional[DeviceBases2] = None,
+    window: Optional[int] = None,
+    reuse: bool = None,
+):
+    """MSM with host int scalars, device compute, exact host finish.
+
+    `device_bases` reuses a marshalled commitment key; when set (or
+    `reuse=True`) the FIXED-BASE path runs: window-shifted bases are
+    precomputed once per (key, size) so the whole MSM is a single joint
+    window space (one sort/stage-cascade/bucket-reduction, no Horner).
+    One-shot base sets (`bases=[...]`) use the per-window general path."""
+    from nova_tpu.curves.spec import AffinePoint
+
+    n = len(scalars)
+    if n == 0:
+        raise ValueError("empty msm")
+    if reuse is None:
+        reuse = device_bases is not None
+    if device_bases is None:
+        device_bases = DeviceBases2(bases[0].curve, bases)
+    curve = device_bases.curve
+    jf = JField(curve.base)
+
+    n_pad = max(512, _next_pow2(n))
+    limbs = _scalar_limbs(scalars, n_pad)
 
     if window is None:
-        window = 14 if n_pad >= (1 << 14) else 10
+        window = 14 if n_pad >= (1 << 14) else 12
     chunk = min(GRAIN, n_pad)
 
+    if reuse:
+        fx, fy, finf = device_bases.fixed(window, n_pad)
+        out = jax.device_get(
+            _msm2_fixed_program(
+                jf.spec.p, window, chunk, jnp.asarray(limbs), fx, fy, finf
+            )
+        )
+        return _xyzz_row_to_affine(curve, out)
+
+    bx, by, binf = _sized(device_bases, n_pad)
     wins = jax.device_get(
         _msm2_program(jf.spec.p, window, chunk, jnp.asarray(limbs), bx, by, binf)
     )
 
     # Horner across windows on exact host ints: acc = 2^c*acc + win_w
-    f = curve.base
     W = wins["x"].shape[0]
     acc = AffinePoint.identity(curve)
     for w in reversed(range(W)):
         if not acc.is_identity():
             acc = acc.mul(1 << window)
-        zz = _row_to_int(wins["zz"][w])
-        if zz == 0:
-            continue
-        x = _row_to_int(wins["x"][w])
-        y = _row_to_int(wins["y"][w])
-        zzz = _row_to_int(wins["zzz"][w])
-        pt = AffinePoint(curve, f.mul(x, f.inv(zz)), f.mul(y, f.inv(zzz)))
-        acc = acc.add(pt)
+        pt = _xyzz_row_to_affine(curve, wins, w)
+        if not pt.is_identity():
+            acc = acc.add(pt)
     return acc
