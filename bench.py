@@ -1,45 +1,87 @@
-"""Headline benchmark: MSM throughput (points/sec/chip), 2^16 points,
-Pallas curve, full 255-bit scalars.
+"""Headline benchmark. Prints ONE JSON line:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Baseline: the only MSM timing the reference pins down in-repo is
-halo2curves `msm_best` at 192 ms for 2^20 points (64-bit scalars) on the
-reference dev machine (/root/reference/src/provider/msm.rs:493-495), i.e.
-5.46M points/sec. vs_baseline = ours / 5.46e6.
+Primary metric: MSM throughput (points/sec/chip), 2^16 points, Pallas
+curve, full 255-bit scalars, through the fixed-base engine the Pedersen
+commitment path uses (ops/msm2). Baseline: the only MSM timing the
+reference pins down in-repo is halo2curves `msm_best` at 192 ms for 2^20
+points (64-bit scalars) on the reference dev machine
+(/root/reference/src/provider/msm.rs:493-495), i.e. 5.46M points/sec.
+vs_baseline = ours / 5.46e6.
+
+`extra` carries the other BASELINE.json metrics measured on this chip:
+  - fold_step_ms: RecursiveSNARK.prove_step wall time (trivial step
+    circuit, Pallas/Vesta augmented pair, ~10k constraints each)
+  - compressed_snark_prove_s: CompressedSNARK.prove (snark/snark + IPA)
+    at the augmented-circuit size
+Set NOVA_BENCH_FAST=1 to emit only the MSM metric (used while iterating).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import random
 import time
 
 
-def main() -> None:
+def bench_msm():
     from nova_tpu.curves.spec import pallas
-    from nova_tpu.ops.msm import DeviceBases, msm_device
+    from nova_tpu.ops.msm2 import DeviceBases2, msm_device2
     from nova_tpu.provider.pedersen import from_label
 
     n = 1 << 16
     rng = random.Random(0xBE2C)
-
     bases = from_label(pallas, b"bench-msm", n)
-    db = DeviceBases(pallas, bases)
+    db = DeviceBases2(pallas, bases)
     scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
 
-    # warmup (compile)
-    msm_device(scalars, device_bases=db)
-
+    msm_device2(scalars, device_bases=db, reuse=True)  # compile + precompute
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        msm_device(scalars, device_bases=db)
+        msm_device2(scalars, device_bases=db, reuse=True)
     dt = (time.perf_counter() - t0) / iters
+    return n / dt
 
-    pts_per_sec = n / dt
+
+def bench_fold_and_compress():
+    from nova_tpu.provider.engines import PallasEngine, VestaEngine
+    from nova_tpu.nova.circuit import TrivialCircuit
+    from nova_tpu.nova.compressed import CompressedSNARK
+    from nova_tpu.nova.ivc import PublicParams, RecursiveSNARK
+
+    c = TrivialCircuit()
+    pp = PublicParams.setup(PallasEngine, VestaEngine, c)
+    rs = RecursiveSNARK.new(pp, c, [0])
+    rs.prove_step(pp, c)  # base-case bump
+    rs.prove_step(pp, c)  # warm (compiles)
+    t0 = time.perf_counter()
+    rs.prove_step(pp, c)
+    fold_ms = (time.perf_counter() - t0) * 1e3
+
+    pk, vk = CompressedSNARK.setup(pp)
+    t0 = time.perf_counter()
+    proof = CompressedSNARK.prove(pp, pk, rs)
+    compress_s = time.perf_counter() - t0
+    CompressedSNARK.verify(vk, proof, rs.i, [0], rs.zi)
+    return fold_ms, compress_s
+
+
+def main() -> None:
+    pts_per_sec = bench_msm()
     baseline = (1 << 20) / 0.192  # reference msm_best datum
+    extra = {}
+    if not os.environ.get("NOVA_BENCH_FAST"):
+        try:
+            fold_ms, compress_s = bench_fold_and_compress()
+            extra = {
+                "fold_step_ms": round(fold_ms, 1),
+                "compressed_snark_prove_s": round(compress_s, 2),
+            }
+        except Exception as e:  # pragma: no cover
+            extra = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(
         json.dumps(
             {
@@ -47,6 +89,7 @@ def main() -> None:
                 "value": round(pts_per_sec, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(pts_per_sec / baseline, 4),
+                "extra": extra,
             }
         )
     )

@@ -133,6 +133,10 @@ class ConstraintSystem:
     def is_witness_generator(self) -> bool:
         return False
 
+    # True on systems that retain/validate constraints even while carrying
+    # witness values (TestConstraintSystem); gates witness-only fast paths
+    records_constraints = False
+
     @staticmethod
     def _resolve(value) -> Optional[int]:
         if callable(value):
@@ -248,6 +252,8 @@ class TestConstraintSystem(ConstraintSystem):
         self.input_assignment: List[int] = [1]
         self.aux_assignment: List[int] = []
         self.constraints: List[Tuple[LinearCombination, LinearCombination, LinearCombination]] = []
+
+    records_constraints = True
 
     def is_witness_generator(self) -> bool:
         return True

@@ -25,7 +25,17 @@ from nova_tpu.provider.poseidon import (
 
 
 class Elt:
-    """Value + linear combination accumulator (circuit2.rs Elt)."""
+    """Value + linear combination accumulator (circuit2.rs Elt).
+
+    VALUE_ONLY is the witness-generation fast path (the reference ships a
+    dedicated circuit2_witness.rs for the same reason): when the enclosing
+    constraint system only collects witness values, the LC accumulators —
+    which dominate synthesis time via dict merges in the MDS products —
+    are replaced by empty LCs. Allocation order is IDENTICAL to the
+    constraint path because the control flow is shared; only the symbolic
+    bookkeeping is skipped."""
+
+    VALUE_ONLY = False
 
     __slots__ = ("allocated", "num")
 
@@ -47,11 +57,20 @@ class Elt:
         return self.num.get_value()
 
     def lc(self) -> LinearCombination:
+        if Elt.VALUE_ONLY:
+            return LinearCombination.zero()
         if self.allocated is not None:
             return LinearCombination.from_variable(self.allocated.get_variable())
         return self.num.to_lc(1)
 
     def to_num(self) -> Num:
+        if Elt.VALUE_ONLY:
+            v = (
+                self.allocated.get_value()
+                if self.allocated is not None
+                else self.num.get_value()
+            )
+            return Num(v, LinearCombination.zero())
         if self.allocated is not None:
             return Num.from_allocated(self.allocated)
         return self.num
@@ -150,6 +169,16 @@ class PoseidonCircuit:
         return PoseidonCircuit(consts, [Elt.num_from_fr(0) for _ in range(consts.width)])
 
     def hash(self, cs: ConstraintSystem) -> Elt:
+        prev = Elt.VALUE_ONLY
+        Elt.VALUE_ONLY = cs.is_witness_generator() and not getattr(
+            cs, "records_constraints", False
+        )
+        try:
+            return self._hash_inner(cs)
+        finally:
+            Elt.VALUE_ONLY = prev
+
+    def _hash_inner(self, cs: ConstraintSystem) -> Elt:
         self._full_round(cs, True, False)
         for _ in range(1, self.consts.full_rounds // 2):
             self._full_round(cs, False, False)
@@ -223,6 +252,12 @@ class PoseidonCircuit:
     @staticmethod
     def _scalar_product(cs, elts: List[Elt], scalars: List[int]) -> Elt:
         p = cs.field.p
+        if Elt.VALUE_ONLY:
+            # witness fast path: plain integer dot product, one Elt out
+            acc_v = 0
+            for e, s in zip(elts, scalars):
+                acc_v += e.val() * s
+            return Elt(num=Num(acc_v % p, LinearCombination.zero()))
         acc = Elt(num=Num(0, LinearCombination.zero()))
         for e, s in zip(elts, scalars):
             acc = acc.add(e.scale(s, p), p)

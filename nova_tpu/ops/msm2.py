@@ -257,6 +257,87 @@ def _xyzz_add_limbs(o, P, Q):
     return ox, oy, ozz, ozzz
 
 
+def _xyzz_add_limbs_fast(o, P, Q):
+    """XYZZ+XYZZ WITHOUT the doubling path (14 muls vs 26): returns
+    (coords, bad) where bad flags lanes with u1 == u2 (P = +-Q, excluding
+    identities) whose result is garbage. Callers OR the flags and rerun
+    the MSM through the complete kernels when any lane was degenerate —
+    never the case for honest Pippenger inputs with distinct bases, but
+    correctness is preserved for all inputs via the retry."""
+    X1, Y1, ZZ1, ZZZ1 = P
+    X2, Y2, ZZ2, ZZZ2 = Q
+    u1 = o.mul(X1, ZZ2)
+    u2 = o.mul(X2, ZZ1)
+    s1 = o.mul(Y1, ZZZ2)
+    s2 = o.mul(Y2, ZZZ1)
+    pd = o.sub(u2, u1)
+    r = o.sub(s2, s1)
+    pp = o.mul(pd, pd)
+    rr = o.mul(r, r)
+    zzp = o.mul(ZZ1, ZZ2)
+    zzzp = o.mul(ZZZ1, ZZZ2)
+    ppp = o.mul(pd, pp)
+    qq = o.mul(u1, pp)
+    zz3 = o.mul(zzp, pp)
+    x3 = o.sub(o.sub(rr, ppp), o.dbl(qq))
+    t1 = o.mul(r, o.sub(qq, x3))
+    t2 = o.mul(s1, ppp)
+    zzz3 = o.mul(zzzp, ppp)
+    y3 = o.sub(t1, t2)
+
+    p_zero = o.is_zero(ZZ1)
+    q_zero = o.is_zero(ZZ2)
+    eq_u = o.is_zero(pd)
+
+    def pick(res, pc, qc):
+        out = o.sel(p_zero, qc, res)
+        return o.sel(q_zero & ~p_zero, pc, out)
+
+    ox = pick(x3, X1, X2)
+    oy = pick(y3, Y1, Y2)
+    ozz = pick(zz3, ZZ1, ZZ2)
+    ozzz = pick(zzz3, ZZZ1, ZZZ2)
+    bad = eq_u & ~p_zero & ~q_zero
+    return (ox, oy, ozz, ozzz), bad
+
+
+def _affine_add_limbs_fast(o, P, Q):
+    """Round-0 specialization: both operands affine (ZZ = ZZZ = 1, the
+    Montgomery one), 6 muls. Identity operands are encoded by the caller
+    as ZZ = 0 with the pick logic below; degenerate x1 == x2 flags `bad`
+    like _xyzz_add_limbs_fast."""
+    X1, Y1, ZZ1, _ = P
+    X2, Y2, ZZ2, _ = Q
+    pd = o.sub(X2, X1)
+    r = o.sub(Y2, Y1)
+    pp = o.mul(pd, pd)
+    rr = o.mul(r, r)
+    ppp = o.mul(pd, pp)
+    qq = o.mul(X1, pp)
+    x3 = o.sub(o.sub(rr, ppp), o.dbl(qq))
+    t1 = o.mul(r, o.sub(qq, x3))
+    t2 = o.mul(Y1, ppp)
+    y3 = o.sub(t1, t2)
+
+    p_zero = o.is_zero(ZZ1)
+    q_zero = o.is_zero(ZZ2)
+    eq_u = o.is_zero(pd)
+    one = o.one(X1[0])
+
+    def pick(res, pc, qc):
+        out = o.sel(p_zero, qc, res)
+        return o.sel(q_zero & ~p_zero, pc, out)
+
+    ox = pick(x3, X1, X2)
+    oy = pick(y3, Y1, Y2)
+    # result zz/zzz: pp/ppp normally; the operand's (1 or 0) when an
+    # identity was involved
+    ozz = pick(pp, ZZ1, ZZ2)
+    ozzz = pick(ppp, ZZ1, ZZ2)
+    bad = eq_u & ~p_zero & ~q_zero
+    return (ox, oy, ozz, ozzz), bad
+
+
 def _xyzz_double_limbs(o, P):
     """XYZZ doubling dbl-2008-s-1 (a=0) on limb lists, identity-masked."""
     X1, Y1, ZZ1, ZZZ1 = P
@@ -319,7 +400,8 @@ def _flat_iota2(rows: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_call(field_key, rounds: int, n: int, chunk: int):
+def _stage_call(field_key, rounds: int, n: int, chunk: int,
+                mode: str = "complete", affine_in: bool = False):
     """Stage pallas_call: `rounds` (<= 7, so all shifts stay under 128)
     combine rounds over n lanes in chunks of `chunk`.
 
@@ -341,8 +423,8 @@ def _stage_call(field_key, rounds: int, n: int, chunk: int):
     w128 = width // 128
     grid = n // chunk
 
-    def kernel(coords_hbm, mask_hbm, out_hbm,
-               cmain, cpad, mmain, mpad, obuf, sem):
+    def kernel(coords_hbm, mask_hbm, out_hbm, flag_hbm,
+               cmain, cpad, mmain, mpad, obuf, fbuf, sem):
         i = pl.program_id(0)
         cps = []
         for slot, (src_i, dst) in enumerate(
@@ -362,91 +444,163 @@ def _stage_call(field_key, rounds: int, n: int, chunk: int):
         for cp in cps:
             cp.wait()
 
-        P = tuple(
-            [
-                jnp.concatenate([cmain[c, l], cpad[c, l][:p128]], axis=0)
-                for l in range(NL)
+        ncoords = 2 if affine_in else 4
+
+        def crow(c, l):
+            return jnp.concatenate([cmain[c, l], cpad[c, l][:p128]], axis=0)
+
+        if affine_in:
+            # zz/zzz synthesized from the live bit (mask row 7): all inputs
+            # are affine (zz = one) or inert (zz = 0) — saves shipping two
+            # all-constant coordinate arrays through HBM
+            one_c = [np.uint32(x) for x in r_limbs]
+            live = jnp.concatenate([mmain[7], mpad[7][:p128]], axis=0) > 0
+            Z = [
+                jnp.where(live, jnp.uint32(cst), jnp.uint32(0))
+                for cst in one_c
             ]
-            for c in range(4)
-        )
+            P = (
+                [crow(0, l) for l in range(NL)],
+                [crow(1, l) for l in range(NL)],
+                Z,
+                list(Z),
+            )
+        else:
+            P = tuple(
+                [crow(c, l) for l in range(NL)] for c in range(4)
+            )
         flat = _flat_iota2(w128)
 
-        def body(r, P):
-            s = jnp.left_shift(jnp.int32(1), r)
+        def partner(P, s_dyn):
             X, Y, ZZ, ZZZ = (
-                [_row_shift_dyn(row, s) for row in coord] for coord in P
+                [_row_shift_dyn(row, s_dyn) for row in coord] for coord in P
             )
             # wrapped tail lanes act as identities (zz = 0)
-            tail = flat < (width - s)
+            tail = flat < (width - s_dyn)
             ZZ = [jnp.where(tail, row, jnp.uint32(0)) for row in ZZ]
-            Q = (X, Y, ZZ, ZZZ)
-            active = (
-                jnp.concatenate([mmain[r], mpad[r][:p128]], axis=0) > 0
-            )
-            S = _xyzz_add_limbs(o, P, Q)
-            return tuple(o.sel(active, Si, Pi) for Si, Pi in zip(S, P))
+            return (X, Y, ZZ, ZZZ)
 
-        P = jax.lax.fori_loop(0, rounds, body, P)
+        def active_mask(r):
+            return jnp.concatenate([mmain[r], mpad[r][:p128]], axis=0) > 0
+
+        zero2 = jnp.zeros((w128, 128), jnp.uint32)
+
+        def body(r, carry):
+            P, badacc = carry
+            s_dyn = jnp.left_shift(jnp.int32(1), r)
+            Q = partner(P, s_dyn)
+            active = active_mask(r)
+            if mode == "complete":
+                S = _xyzz_add_limbs(o, P, Q)
+                bad = zero2
+            else:
+                S, badl = _xyzz_add_limbs_fast(o, P, Q)
+                bad = jnp.where(active & badl, jnp.uint32(1), zero2)
+            P = tuple(o.sel(active, Si, Pi) for Si, Pi in zip(S, P))
+            return P, badacc | bad
+
+        badacc = zero2
+        r0 = 0
+        if mode == "fast0":
+            # round 0: every lane is still an affine input (6-mul formula)
+            Q = partner(P, jnp.int32(1))
+            active = active_mask(0)
+            S, badl = _affine_add_limbs_fast(o, P, Q)
+            badacc = jnp.where(active & badl, jnp.uint32(1), zero2)
+            P = tuple(o.sel(active, Si, Pi) for Si, Pi in zip(S, P))
+            r0 = 1
+        P, badacc = jax.lax.fori_loop(r0, rounds, body, (P, badacc))
 
         for c, coord in enumerate(P):
             for l in range(NL):
                 obuf[c, l] = coord[l][:c128]
+        fbuf[...] = jnp.max(
+            badacc.astype(jnp.int32), axis=0, keepdims=True
+        ).astype(jnp.uint32)  # unsigned reductions do not lower
         cp = pltpu.make_async_copy(obuf, out_hbm.at[i], sem.at[4])
         cp.start()
+        cpf = pltpu.make_async_copy(fbuf, flag_hbm.at[i], sem.at[5])
+        cpf.start()
         cp.wait()
+        cpf.wait()
 
     def call(coords, mask):
-        # coords: (grid+1, 4, NL, c128, 128); mask: (grid+1, 8, c128, 128)
-        out_shape = jax.ShapeDtypeStruct((grid, 4, NL, c128, 128), jnp.uint32)
+        # coords: (grid+1, 2 or 4, NL, c128, 128); mask: (grid+1, 8, c128, 128)
+        out_shapes = (
+            jax.ShapeDtypeStruct((grid, 4, NL, c128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((grid, 1, 128), jnp.uint32),
+        )
         return pl.pallas_call(
             kernel,
-            out_shape=out_shape,
+            out_shape=out_shapes,
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
             scratch_shapes=[
-                pltpu.VMEM((4, NL, c128, 128), jnp.uint32),
-                pltpu.VMEM((4, NL, c128, 128), jnp.uint32),
+                pltpu.VMEM((2 if affine_in else 4, NL, c128, 128), jnp.uint32),
+                pltpu.VMEM((2 if affine_in else 4, NL, c128, 128), jnp.uint32),
                 pltpu.VMEM((8, c128, 128), jnp.uint32),
                 pltpu.VMEM((8, c128, 128), jnp.uint32),
                 pltpu.VMEM((4, NL, c128, 128), jnp.uint32),
-                pltpu.SemaphoreType.DMA((5,)),
+                pltpu.VMEM((1, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((6,)),
             ],
         )(coords, mask)
 
     return call
 
 
-def _stage(jf: JField, rounds: int, masks, pts: dict, chunk: int) -> dict:
+def _stage(jf: JField, rounds: int, masks, pts: dict, chunk: int,
+           mode: str = "complete", live=None):
     """Run one combine stage. masks: (rounds, n) uint32; pts: dict of
-    (16, n) coords. Returns updated pts."""
-    n = pts["x"].shape[1]
+    (n, 16) coord rows. With `live` (a (n,) bool of non-inert lanes), pts
+    needs only x/y: every lane is affine and zz/zzz are synthesized
+    in-kernel from the live bit (the big-input stage-1 fast path).
+    Returns (updated pts, degenerate-flag scalar)."""
+    n = pts["x"].shape[0]
     chunk = min(chunk, n)
     while chunk > PAD and n % chunk:
         chunk //= 2
+    affine_in = live is not None
     if _use_pallas() and n % chunk == 0 and chunk % PAD == 0:
         NL = NUM_LIMBS
         grid = n // chunk
         c128 = chunk // 128
-        # pack to chunk-major (grid+1, 4, NL, c128, 128); the +1 chunk is
+        keys = ("x", "y") if affine_in else ("x", "y", "zz", "zzz")
+        nc = len(keys)
+        # pack to chunk-major (grid+1, nc, NL, c128, 128); the +1 chunk is
         # an all-identity pad chunk
-        stacked = jnp.stack([pts[k] for k in ("x", "y", "zz", "zzz")])
+        stacked = jnp.stack([pts[k] for k in keys]).transpose(0, 2, 1)
         stacked = jnp.concatenate(
-            [stacked, jnp.zeros((4, NL, chunk), jnp.uint32)], axis=2
+            [stacked, jnp.zeros((nc, NL, chunk), jnp.uint32)], axis=2
         )
-        coords = stacked.reshape(4, NL, grid + 1, c128, 128).transpose(
+        coords = stacked.reshape(nc, NL, grid + 1, c128, 128).transpose(
             2, 0, 1, 3, 4
         )
         m8 = jnp.zeros((8, (grid + 1) * chunk), jnp.uint32)
         m8 = m8.at[:rounds, :n].set(masks)
+        if affine_in:
+            m8 = m8.at[7, :n].set(live.astype(jnp.uint32))
         m8 = m8.reshape(8, grid + 1, c128, 128).transpose(1, 0, 2, 3)
-        call = _stage_call(_field_key(jf), rounds, n, chunk)
-        out = call(coords, m8)  # (grid, 4, NL, c128, 128)
-        out = out.transpose(1, 2, 0, 3, 4).reshape(4, NL, n)
-        return {
-            k: out[i] for i, k in enumerate(("x", "y", "zz", "zzz"))
-        }
-    return _stage_xla(jf, rounds, masks, pts)
+        call = _stage_call(_field_key(jf), rounds, n, chunk, mode, affine_in)
+        out, flags = call(coords, m8)  # (grid, 4, NL, c128, 128)
+        out = (
+            out.transpose(1, 2, 0, 3, 4).reshape(4, NL, n).transpose(0, 2, 1)
+        )
+        return (
+            {k: out[i] for i, k in enumerate(("x", "y", "zz", "zzz"))},
+            jnp.max(flags),
+        )
+    if affine_in:
+        one = jnp.broadcast_to(
+            jnp.asarray(jf.r_limbs, jnp.uint32), (n, NUM_LIMBS)
+        )
+        zz = jnp.where(live[:, None], one, 0)
+        pts = {"x": pts["x"], "y": pts["y"], "zz": zz, "zzz": zz}
+    outT = _stage_xla(
+        jf, rounds, masks, {k: v.T for k, v in pts.items()}
+    )
+    return {k: v.T for k, v in outT.items()}, jnp.uint32(0)
 
 
 def _stage_xla(jf: JField, rounds: int, masks, pts: dict) -> dict:
@@ -562,8 +716,8 @@ def _bucket_reduce_call(field_key, nb: int, group: int):
 
 
 def _bucket_reduce_pallas(jf: JField, table: dict) -> dict:
-    """Hierarchical sum_i (i+1)*T[i] over (16, nb), nb pow2 >= 128:
-    with groups of m = min(nb, _GROUP) lanes and i = g*m + j,
+    """Hierarchical sum_i (i+1)*T[i] over row-major (nb, 16), nb pow2 >=
+    128: with groups of m = min(nb, _GROUP) lanes and i = g*m + j,
       total = m * sum_g g*S_g + sum_g W_g,
     where the group kernel yields (S_g, W_g), sum_g g*S_g feeds back
     through the same kernel (table T'_i = S_{i+1}), and sum_g W_g uses its
@@ -571,13 +725,13 @@ def _bucket_reduce_pallas(jf: JField, table: dict) -> dict:
     from nova_tpu.curves.jpoints import xyzz_add, xyzz_double
 
     keys = ("x", "y", "zz", "zzz")
-    nb = table["x"].shape[1]
+    nb = table["x"].shape[0]
     m = min(nb, _GROUP)
     G = nb // m
     call = _bucket_reduce_call(_field_key(jf), nb, m)
 
     def pack(tbl, size):
-        st = jnp.stack([tbl[k] for k in keys])  # (4, NL, size)
+        st = jnp.stack([tbl[k] for k in keys]).transpose(0, 2, 1)  # (4,NL,sz)
         return st.reshape(4, NUM_LIMBS, size // m, m // 128, 128).transpose(
             2, 0, 1, 3, 4
         )
@@ -588,12 +742,12 @@ def _bucket_reduce_pallas(jf: JField, table: dict) -> dict:
     if G == 1:
         return {k: v[:, :1] for k, v in Wg.items()}
 
-    # pad to one group width and reuse the kernel at nb=m
+    # pad to one group width and reuse the kernel at nb=m (row-major)
     def padded(src, shift):
         out = {}
         for k in keys:
-            z = jnp.zeros((NUM_LIMBS, m), jnp.uint32)
-            out[k] = z.at[:, : G - shift].set(src[k][:, shift:])
+            z = jnp.zeros((m, NUM_LIMBS), jnp.uint32)
+            out[k] = z.at[: G - shift].set(src[k].T[shift:])
         return out
 
     call1 = _bucket_reduce_call(_field_key(jf), m, m)
@@ -614,15 +768,15 @@ def _bucket_reduce_pallas(jf: JField, table: dict) -> dict:
 
 
 def _bucket_reduce(jf: JField, table: dict) -> dict:
-    """sum_i (i+1)*T[i]; table coords (16, nb), nb pow2 >= 128. Returns
+    """sum_i (i+1)*T[i]; table rows (nb, 16), nb pow2 >= 128. Returns
     (16, 1) XYZZ coords."""
-    nb = table["x"].shape[1]
+    nb = table["x"].shape[0]
     assert nb & (nb - 1) == 0
     if _use_pallas():
         return _bucket_reduce_pallas(jf, table)
     from nova_tpu.curves.jpoints import xyzz_add, xyzz_double, xyzz_zero
 
-    pT = {k: v.T for k, v in table.items()}  # (nb, 16)
+    pT = table  # already (nb, 16) rows
     A = xyzz_zero(jf, jnp.zeros((1, NUM_LIMBS), jnp.uint32))
     size = nb
     while size > 1:
@@ -694,22 +848,18 @@ def signed_digits_device(limbs16, c: int, num_windows: int):
 
 def _compact(keep, size_out: int, ds, rank, pts: dict):
     """Stable-compact lanes where keep=True into arrays of static size
-    `size_out` via cumsum+scatter. Dropped lanes land in a trash slot.
-    Caller guarantees popcount(keep) <= size_out."""
-    tgt = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    tgt = jnp.where(keep, jnp.minimum(tgt, size_out - 1), size_out)
-
-    def scat1(v):
-        out = jnp.zeros((size_out + 1,), v.dtype)
-        return out.at[tgt].set(v)[:size_out]
-
-    ds2 = scat1(ds)
-    rank2 = scat1(rank)
-    pts2 = {}
-    for k in ("x", "y", "zz", "zzz"):
-        vT = pts[k].T  # (n, 16)
-        out = jnp.zeros((size_out + 1, NUM_LIMBS), jnp.uint32)
-        pts2[k] = out.at[tgt].set(vT)[:size_out].T
+    `size_out`. pts: dict of (n, 16) rows. Implemented as a stable argsort
+    of the dead flag + row gathers (a cumsum+scatter version cost 1.3s at
+    5M lanes; this is ~16x cheaper). Lanes past the survivor count get
+    ds=0 so they stay inert."""
+    n = keep.shape[0]
+    src = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.uint8), stable=True)
+    src = src[:size_out]
+    total = jnp.sum(keep.astype(jnp.int32))
+    live = jnp.arange(size_out, dtype=jnp.int32) < total
+    ds2 = jnp.where(live, ds[src], 0)
+    rank2 = jnp.where(live, rank[src], 0)
+    pts2 = {k: pts[k][src] for k in ("x", "y", "zz", "zzz")}
     return ds2, rank2, pts2
 
 
@@ -741,43 +891,46 @@ def _plan(n: int, nb: int, rounds_per_stage: int = MAX_STAGE_ROUNDS):
         r = min(rounds_per_stage, need - merged)
         merged += r
         est = nb + (width >> r) + 1
-        width_out = min(n, _round_up(est, PAD))
+        # powers of two only: stage kernels are cached per (rounds, width,
+        # chunk, mode), so pow2 widths are shared across MSM sizes and
+        # across stages — compile time dominates iteration otherwise
+        width_out = min(n, max(PAD, _next_pow2(est)))
         if merged >= need:
-            width_out = min(n, _round_up(nb, PAD))
+            width_out = min(n, max(PAD, _next_pow2(nb)))
         stages.append((r, width, width_out))
         width = width_out
     return stages
 
 
-def _window_sum(jf: JField, absd, px, py, chunk: int, nb: int):
+def _window_sum(jf: JField, absd, px, py, chunk: int, nb: int,
+                mode: str = "complete"):
     """One Pippenger window. absd: (n,) int32 in [0, 2^(c-1)]; px/py:
-    (16, n) Montgomery affine coords with Y sign-adjusted; lanes with
-    absd == 0 are inert. Returns (16, 1) XYZZ coords of sum_b b*bucket_b."""
+    (n, 16) Montgomery affine coord rows with Y sign-adjusted; lanes with
+    absd == 0 are inert. Returns ((16, 1) XYZZ coords of sum_b b*bucket_b,
+    degenerate-flag)."""
     n = absd.shape[0]
     order = jnp.argsort(absd)
     ds = absd[order]
-    px = px[:, order]
-    py = py[:, order]
+    px = px[order]
+    py = py[order]
 
     idx = jnp.arange(n, dtype=jnp.int32)
     heads = jnp.concatenate([jnp.ones((1,), bool), ds[1:] != ds[:-1]])
     seg_start = jax.lax.cummax(jnp.where(heads, idx, 0))
     rank = idx - seg_start
 
-    one = jnp.broadcast_to(
-        jnp.asarray(jf.r_limbs, jnp.uint32)[:, None], (NUM_LIMBS, n)
-    )
-    nonzero = (ds != 0)[None, :]
-    pts = {
-        "x": px,
-        "y": py,
-        "zz": jnp.where(nonzero, one, 0),
-        "zzz": jnp.where(nonzero, one, 0),
-    }
+    pts = {"x": px, "y": py}
+    live = ds != 0
 
-    for rounds, w_in, w_out in _plan(n, nb):
+    flag = jnp.uint32(0)
+    for si, (rounds, w_in, w_out) in enumerate(_plan(n, nb)):
         masks = _round_masks(ds, rank, rounds)
-        pts = _stage(jf, rounds, masks, pts, chunk)
+        smode = mode if (mode != "fast0" or si == 0) else "fast"
+        pts, f = _stage(
+            jf, rounds, masks, pts, chunk, smode, live=live
+        )
+        live = None  # affine inputs only on the first stage
+        flag = flag | f
         keep = ((rank & ((1 << rounds) - 1)) == 0) & (ds != 0)
         ds, rank, pts = _compact(keep, w_out, ds, rank >> rounds, pts)
 
@@ -787,38 +940,38 @@ def _window_sum(jf: JField, absd, px, py, chunk: int, nb: int):
     ids = jnp.where((rank == 0) & (ds != 0), ds - 1, nb)
     table = {}
     for k in ("x", "y", "zz", "zzz"):
-        vT = pts[k].T
         tab = jnp.zeros((nb, NUM_LIMBS), jnp.uint32)
-        table[k] = tab.at[ids].set(vT, mode="drop").T
+        table[k] = tab.at[ids].set(pts[k], mode="drop")
 
-    return _bucket_reduce(jf, table)
+    return _bucket_reduce(jf, table), flag
 
 
 def _negate_y(jf: JField, y):
-    """p - y on (16, n) limbs, fixing y == 0 to stay 0."""
+    """p - y on (n, 16) rows, fixing y == 0 to stay 0."""
     p_l = np.asarray(jf.p_limbs, dtype=np.uint32)
-    borrow = jnp.zeros_like(y[0])
+    yT = [y[:, i] for i in range(NUM_LIMBS)]
+    borrow = jnp.zeros_like(yT[0])
     out = []
     for i in range(NUM_LIMBS):
-        d = np.uint32(p_l[i]) - y[i] - borrow
+        d = np.uint32(p_l[i]) - yT[i] - borrow
         out.append(d & jnp.uint32(MASK32))
         borrow = (d >> 31) & jnp.uint32(1)
-    res = jnp.stack(out)
-    is_zero = jnp.all(y == 0, axis=0)
-    return jnp.where(is_zero[None, :], y, res)
+    res = jnp.stack(out, axis=-1)
+    is_zero = jnp.all(y == 0, axis=1)
+    return jnp.where(is_zero[:, None], y, res)
 
 
 def msm_windows_device(jf: JField, signed_d, bx, by, binf, c: int, chunk: int):
-    """All window sums on device. signed_d: (W, N) int32; bx/by: (16, N)
-    Montgomery affine; binf: (N,) bool. Returns dict of (W, 16) XYZZ
+    """All window sums on device. signed_d: (W, N) int32; bx/by: (N, 16)
+    Montgomery affine rows; binf: (N,) bool. Returns dict of (W, 16) XYZZ
     window sums (Montgomery form)."""
     nb = 1 << (c - 1)
     neg_by = _negate_y(jf, by)
 
     def one_window(d):
         absd = jnp.where(binf, 0, jnp.abs(d))
-        sy = jnp.where((d < 0)[None, :], neg_by, by)
-        s = _window_sum(jf, absd, bx, sy, chunk, nb)
+        sy = jnp.where((d < 0)[:, None], neg_by, by)
+        s, _ = _window_sum(jf, absd, bx, sy, chunk, nb)
         return {k: v[:, 0] for k, v in s.items()}
 
     return jax.lax.map(one_window, signed_d)
@@ -832,17 +985,16 @@ def msm_windows_device(jf: JField, signed_d, bx, by, binf, c: int, chunk: int):
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _precompute_shifted(field_p: int, c: int, W: int, bx, by, binf):
     """Affine shifted bases for the fixed-base MSM: window w holds
-    2^(c*w) * B_i for every base. Returns (16, W*n) x/y (Montgomery) and
-    (W*n,) inf flags. W*c doublings + a batched inversion per window, all
+    2^(c*w) * B_i for every base. Returns (W*n, 16) x/y rows (Montgomery)
+    and (W*n,) inf flags. W*c doublings + a batched inversion per window, all
     on device — run once per (key, size) and cached."""
     from nova_tpu.curves.jpoints import xyzz_double
 
     jf = JField._instances[field_p]
-    n = bx.shape[1]
+    n = bx.shape[0]
     one = jnp.broadcast_to(jnp.asarray(jf.r_limbs, jnp.uint32), (n, NUM_LIMBS))
-    xT, yT = bx.T, by.T
-    zzT = jnp.where(~binf[:, None], one, 0)
-    pts0 = {"x": xT, "y": yT, "zz": zzT, "zzz": zzT}
+    zz0 = jnp.where(~binf[:, None], one, 0)
+    pts0 = {"x": bx, "y": by, "zz": zz0, "zzz": zz0}
 
     def step(pts, _):
         # c doublings, then normalize a snapshot to affine with one
@@ -861,9 +1013,9 @@ def _precompute_shifted(field_p: int, c: int, W: int, bx, by, binf):
         return pts, (x_aff, y_aff, jf.is_zero(pts["zz"]))
 
     _, (xs, ys, infs) = jax.lax.scan(step, pts0, None, length=W - 1)
-    # xs: (W-1, n, 16) -> (16, (W-1)*n)
-    fx = jnp.concatenate([bx, xs.reshape((W - 1) * n, NUM_LIMBS).T], axis=1)
-    fy = jnp.concatenate([by, ys.reshape((W - 1) * n, NUM_LIMBS).T], axis=1)
+    # row-major outputs: (W*n, 16) and (W*n,)
+    fx = jnp.concatenate([bx, xs.reshape((W - 1) * n, NUM_LIMBS)], axis=0)
+    fy = jnp.concatenate([by, ys.reshape((W - 1) * n, NUM_LIMBS)], axis=0)
     finf = jnp.concatenate([binf, infs.reshape((W - 1) * n)])
     return fx, fy, finf
 
@@ -880,9 +1032,27 @@ def _msm2_fixed_program(field_p: int, c: int, chunk: int, limbs, fx, fy, finf):
     d = signed_d.reshape(num_windows * n)
     absd = jnp.where(finf, 0, jnp.abs(d))
     neg_fy = _negate_y(jf, fy)
-    sy = jnp.where((d < 0)[None, :], neg_fy, fy)
+    sy = jnp.where((d < 0)[:, None], neg_fy, fy)
     nb = 1 << (c - 1)
-    s = _window_sum(jf, absd, fx, sy, chunk, nb)
+    s, flag = _window_sum(jf, absd, fx, sy, chunk, nb, mode="fast0")
+    return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm2_fixed_program_complete(field_p: int, c: int, chunk: int,
+                                 limbs, fx, fy, finf):
+    """Retry path with complete additions (compiled only if a degenerate
+    add was ever flagged; see _xyzz_add_limbs_fast)."""
+    jf = JField._instances[field_p]
+    num_windows = (255 + c - 1) // c + 1
+    n = limbs.shape[0]
+    signed_d = signed_digits_device(limbs, c, num_windows)
+    d = signed_d.reshape(num_windows * n)
+    absd = jnp.where(finf, 0, jnp.abs(d))
+    neg_fy = _negate_y(jf, fy)
+    sy = jnp.where((d < 0)[:, None], neg_fy, fy)
+    nb = 1 << (c - 1)
+    s, _ = _window_sum(jf, absd, fx, sy, chunk, nb, mode="complete")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
 
 
@@ -901,8 +1071,8 @@ class DeviceBases2:
         xs = jf.pack([p.x for p in points])
         ys = jf.pack([p.y for p in points])
         to_mont = jf.jit("to_mont")
-        self.x = jnp.asarray(to_mont(jnp.asarray(xs))).T  # (16, N)
-        self.y = jnp.asarray(to_mont(jnp.asarray(ys))).T
+        self.x = jnp.asarray(to_mont(jnp.asarray(xs)))  # (N, 16) rows
+        self.y = jnp.asarray(to_mont(jnp.asarray(ys)))
         self.inf = jnp.asarray(np.array([p.infinity for p in points], dtype=bool))
         self.n = len(points)
         self._fixed = {}  # (c, n_pad) -> (fx, fy, finf) shifted bases
@@ -953,11 +1123,11 @@ def _sized(device_bases: DeviceBases2, n_pad: int):
     bx, by, binf = device_bases.x, device_bases.y, device_bases.inf
     if device_bases.n < n_pad:
         padn = n_pad - device_bases.n
-        bx = jnp.concatenate([bx, jnp.zeros((NUM_LIMBS, padn), jnp.uint32)], axis=1)
-        by = jnp.concatenate([by, jnp.zeros((NUM_LIMBS, padn), jnp.uint32)], axis=1)
+        bx = jnp.concatenate([bx, jnp.zeros((padn, NUM_LIMBS), jnp.uint32)])
+        by = jnp.concatenate([by, jnp.zeros((padn, NUM_LIMBS), jnp.uint32)])
         binf = jnp.concatenate([binf, jnp.ones((padn,), bool)])
     elif device_bases.n > n_pad:
-        bx, by, binf = bx[:, :n_pad], by[:, :n_pad], binf[:n_pad]
+        bx, by, binf = bx[:n_pad], by[:n_pad], binf[:n_pad]
     return bx, by, binf
 
 
@@ -1014,16 +1184,31 @@ def msm_device2(
     limbs = _scalar_limbs(scalars, n_pad)
 
     if window is None:
-        window = 14 if n_pad >= (1 << 14) else 12
+        # wider windows cut W*N pair count; bucket-table cost stays minor
+        if n_pad >= (1 << 18):
+            window = 16
+        elif n_pad >= (1 << 14):
+            window = 14
+        else:
+            window = 12
     chunk = min(GRAIN, n_pad)
 
     if reuse:
         fx, fy, finf = device_bases.fixed(window, n_pad)
-        out = jax.device_get(
+        out, flag = jax.device_get(
             _msm2_fixed_program(
                 jf.spec.p, window, chunk, jnp.asarray(limbs), fx, fy, finf
             )
         )
+        if int(flag):
+            # a degenerate (P = +-Q) addition was flagged: rerun through
+            # the complete-formula kernels (never taken for honest inputs
+            # with distinct bases; compiled on first use)
+            out = jax.device_get(
+                _msm2_fixed_program_complete(
+                    jf.spec.p, window, chunk, jnp.asarray(limbs), fx, fy, finf
+                )
+            )
         return _xyzz_row_to_affine(curve, out)
 
     bx, by, binf = _sized(device_bases, n_pad)

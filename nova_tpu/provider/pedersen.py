@@ -81,6 +81,18 @@ class CommitmentKey:
             object.__setattr__(self, "_device_bases", db)
         return db
 
+    def device_bases2(self, n: int):
+        """Marshalled bases for the fixed-base MSM engine (ops/msm2),
+        cached with their window-shifted precompute."""
+        from nova_tpu.ops.msm2 import DeviceBases2
+
+        db = getattr(self, "_device_bases2", None)
+        if db is None or db.n < n:
+            n_pad = 1 if n <= 1 else 1 << (n - 1).bit_length()
+            db = DeviceBases2(self.curve, self.ck[: min(n_pad, len(self.ck))])
+            object.__setattr__(self, "_device_bases2", db)
+        return db
+
     # split/combine/fold/scale for IPA (CommitmentKeyExtTrait,
     # src/provider/pedersen.rs:431-529)
     def split_at(self, n: int):
@@ -247,9 +259,11 @@ class CommitmentEngine:
         if len(v) == 0:
             acc = AffinePoint.identity(ck.curve)
         elif len(v) >= DEVICE_THRESHOLD and _device_ok():
-            from nova_tpu.ops.msm import msm_device
+            from nova_tpu.ops.msm2 import msm_device2
 
-            acc = msm_device(list(v), device_bases=ck.device_bases(len(v)))
+            acc = msm_device2(
+                list(v), device_bases=ck.device_bases2(len(v)), reuse=True
+            )
         else:
             acc = host_msm(list(v), ck.ck[: len(v)])
         if r:
