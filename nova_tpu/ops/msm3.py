@@ -1,0 +1,706 @@
+"""TPU MSM v3: column-serial segmented accumulation.
+
+Replaces the v2 Brent-Kung stage cascade (ops/msm2.py) for the fixed-base
+path after accounting showed the cascade computes ~4.3 masked point adds
+per (point, digit) pair (inactive lanes still pay the full formula every
+round) plus an argsort compaction per stage. This design performs exactly
+ONE useful mixed add per pair and needs no scatter anywhere:
+
+  1. signed c-bit digits over the joint fixed-base window space
+     (window-shifted bases fold the 2^(c*w) weight into the base, so all
+     windows share one bucket space; see msm2._precompute_shifted).
+  2. ONE sort of the W*n (|digit|, index) pairs; points gathered into a
+     COLUMN-MAJOR (R, C) grid: sorted element j*R + i lands at row i,
+     column j. Each column is a contiguous slice of the sorted order.
+  3. accumulate kernel: grid over column blocks; each step processes one
+     row across the block's lanes — acc <- acc + P (10-mul XYZZ+affine
+     mixed add) when the digit matches the previous row, else the old
+     acc is FLUSHED to that row's slot and acc restarts at P. Every lane
+     does useful work every step; flush positions are data-dependent but
+     writes are dense (row-shaped), so no scatter.
+  4. bucket recovery by GATHER: bucket b's run ends at sorted position
+     C_b - 1 where C_b = searchsorted(sorted_digits, b, 'right'); its
+     within-column partial was flushed at row (C_b-1)%R + 1 of column
+     (C_b-1)//R (or is the column-end carry when the run touches the
+     column end). Runs spanning columns contribute one carry per column
+     boundary; the C column-end carries (digits non-decreasing by
+     construction) recurse through the same kernel (level 2, XYZZ
+     inputs), whose 128 carries finish with a masked suffix-add pass.
+  5. weighted bucket reduction + host finish reused from msm2.
+
+Fast adds flag degenerate lanes (P = +-acc) exactly like msm2; the MSM
+reruns through complete-formula kernels when flagged (never for honest
+distinct-base inputs). Reference algorithm: src/provider/msm.rs:225-419.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nova_tpu.fields.jfield import JField
+from nova_tpu.fields.spec import NUM_LIMBS
+
+from nova_tpu.ops.msm2 import (
+    _PALLAS_OK,
+    _field_key,
+    _limb_ops,
+    _negate_y,
+    _next_pow2,
+    _bucket_reduce,
+    _precompute_shifted,
+    _scalar_limbs,
+    _sized,
+    _use_pallas,
+    _xyzz_add_limbs,
+    _xyzz_add_limbs_fast,
+    _xyzz_row_to_affine,
+    signed_digits_device,
+    DeviceBases2,
+)
+
+if _PALLAS_OK:  # pragma: no branch
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+SLAB = 8  # rows per DMA slab
+C_BLK = 1024  # lanes per kernel block
+
+
+# ---------------------------------------------------------------------------
+# add formulas on limb lists
+# ---------------------------------------------------------------------------
+
+
+def _madd_fast(o, ACC, X2, Y2, live):
+    """XYZZ += affine mixed add (madd-2008-s, 10 muls), without the
+    doubling path. `live` masks lanes whose affine operand is real (False
+    = identity). Returns (result coords, bad) where bad flags degenerate
+    P = +-Q lanes (x-coords collide, both operands live)."""
+    X1, Y1, ZZ1, ZZZ1 = ACC
+    U2 = o.mul(X2, ZZ1)
+    S2 = o.mul(Y2, ZZZ1)
+    Pd = o.sub(U2, X1)
+    Rd = o.sub(S2, Y1)
+    PP = o.mul(Pd, Pd)
+    PPP = o.mul(Pd, PP)
+    Q = o.mul(X1, PP)
+    RR = o.mul(Rd, Rd)
+    X3 = o.sub(o.sub(RR, PPP), o.dbl(Q))
+    Y3 = o.sub(o.mul(Rd, o.sub(Q, X3)), o.mul(Y1, PPP))
+    ZZ3 = o.mul(ZZ1, PP)
+    ZZZ3 = o.mul(ZZZ1, PPP)
+
+    p_zero = o.is_zero(ZZ1)
+    q_zero = ~live
+    one = o.one(X1[0])
+
+    def pick(res, pc, qc):
+        out = o.sel(p_zero, qc, res)
+        return o.sel(q_zero & ~p_zero, pc, out)
+
+    ox = pick(X3, X1, X2)
+    oy = pick(Y3, Y1, Y2)
+    ozz = pick(ZZ3, ZZ1, one)
+    ozzz = pick(ZZZ3, ZZZ1, one)
+    bad = o.is_zero(Pd) & ~p_zero & ~q_zero
+    return (ox, oy, ozz, ozzz), bad
+
+
+# ---------------------------------------------------------------------------
+# the accumulate kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _accum_call(field_key, R: int, c_blk: int, n_blocks: int,
+                affine_in: bool, mode: str):
+    """pallas_call: serial segmented accumulation down R rows per column,
+    c_blk columns per grid block.
+
+    Inputs (HBM):
+      pts  (n_blocks, n_slabs, SLAB, nc, NL, c128, 128) u32; nc = 2
+           (affine x/y; identity encoded by digit 0) or 4 (XYZZ)
+      digs (n_blocks, n_slabs, SLAB, c128, 128) i32 (|digit|; 0 = inert)
+    Outputs:
+      flush  (n_blocks, n_slabs, SLAB, 4, NL, c128, 128) u32 — row i
+             holds the completed-run accumulator when row i's digit
+             differs from row i-1's (identity otherwise)
+      colend (n_blocks, 4, NL, c128, 128) u32 — final accumulator
+      flag   (n_blocks, 1, 128) u32 — degenerate-add indicator (fast mode)
+    """
+    field_p, p_limbs, n0inv, r_limbs = field_key
+    o = _limb_ops(p_limbs, n0inv, r_limbs)
+    NL = NUM_LIMBS
+    c128 = c_blk // 128
+    n_slabs = R // SLAB
+    nc = 2 if affine_in else 4
+
+    def kernel(pts_hbm, digs_hbm, flush_hbm, colend_hbm, flag_hbm,
+               inb, dgb, outb, accb, prevb, badb, sem):
+        b = pl.program_id(0)
+        accb[...] = jnp.zeros((4, NL, c128, 128), jnp.uint32)
+        prevb[...] = jnp.full((1, c128, 128), -1, jnp.int32)
+        badb[...] = jnp.zeros((c128, 128), jnp.uint32)
+
+        def slab_body(s, _):
+            fs = b * n_slabs + s
+            cp1 = pltpu.make_async_copy(pts_hbm.at[fs], inb, sem.at[0])
+            cp2 = pltpu.make_async_copy(digs_hbm.at[fs], dgb, sem.at[1])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+            for i in range(SLAB):
+                d = dgb[i]
+                live = d != 0
+                boundary = d != prevb[0]
+                ACC = tuple(
+                    [accb[c, l] for l in range(NL)] for c in range(4)
+                )
+                X2 = [inb[i, 0, l] for l in range(NL)]
+                Y2 = [inb[i, 1, l] for l in range(NL)]
+                if affine_in:
+                    one = o.one(X2[0])
+                    zero = o.zero(X2[0])
+                    Zq = o.sel(live, one, zero)
+                    Qp = (X2, Y2, Zq, list(Zq))
+                else:
+                    Qp = (
+                        X2,
+                        Y2,
+                        [inb[i, 2, l] for l in range(NL)],
+                        [inb[i, 3, l] for l in range(NL)],
+                    )
+                if mode == "fast":
+                    if affine_in:
+                        S_res, bad = _madd_fast(o, ACC, X2, Y2, live)
+                    else:
+                        S_res, bad = _xyzz_add_limbs_fast(o, ACC, Qp)
+                    badb[...] = badb[...] | jnp.where(
+                        bad & ~boundary, jnp.uint32(1), jnp.uint32(0)
+                    )
+                else:
+                    S_res = _xyzz_add_limbs(o, ACC, Qp)
+                for c in range(4):
+                    for l in range(NL):
+                        outb[i, c, l] = jnp.where(
+                            boundary, ACC[c][l], jnp.uint32(0)
+                        )
+                        accb[c, l] = jnp.where(
+                            boundary, Qp[c][l], S_res[c][l]
+                        )
+                prevb[...] = d[None]
+            cpo = pltpu.make_async_copy(outb, flush_hbm.at[fs], sem.at[2])
+            cpo.start()
+            cpo.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+        cpc = pltpu.make_async_copy(accb, colend_hbm.at[b], sem.at[0])
+        cpc.start()
+        # unsigned reductions do not lower; go through int32
+        flagv = jnp.max(badb[...].astype(jnp.int32), axis=0, keepdims=True)
+        badb[...] = jnp.broadcast_to(flagv.astype(jnp.uint32), (c128, 128))
+        cpc.wait()
+        cpf = pltpu.make_async_copy(badb.at[:1], flag_hbm.at[b], sem.at[1])
+        cpf.start()
+        cpf.wait()
+
+    def call(pts, digs):
+        # flatten (n_blocks, n_slabs) so DMA refs index one level deep
+        pts = pts.reshape((n_blocks * n_slabs,) + pts.shape[2:])
+        digs = digs.reshape((n_blocks * n_slabs,) + digs.shape[2:])
+        out_shapes = (
+            jax.ShapeDtypeStruct(
+                (n_blocks * n_slabs, SLAB, 4, NL, c128, 128), jnp.uint32
+            ),
+            jax.ShapeDtypeStruct((n_blocks, 4, NL, c128, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks, 1, 128), jnp.uint32),
+        )
+        flush, colend, flag = pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+            scratch_shapes=[
+                pltpu.VMEM((SLAB, nc, NL, c128, 128), jnp.uint32),
+                pltpu.VMEM((SLAB, c128, 128), jnp.int32),
+                pltpu.VMEM((SLAB, 4, NL, c128, 128), jnp.uint32),
+                pltpu.VMEM((4, NL, c128, 128), jnp.uint32),
+                pltpu.VMEM((1, c128, 128), jnp.int32),
+                pltpu.VMEM((c128, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )(pts, digs)
+        flush = flush.reshape(
+            (n_blocks, n_slabs, SLAB, 4, NL, c128, 128)
+        )
+        return flush, colend, flag
+
+    return call
+
+
+def _accum_xla(jf: JField, d_cm, px_cm, py_cm, mode: str,
+               zz_cm=None, zzz_cm=None):
+    """Pure-XLA fallback (CPU tests): same semantics via a lax.scan over
+    rows. d_cm: (R, C) i32; coords: (R, C, NL) u32 rows. Returns
+    (flush (R, C, NL) per coord, colend (C, NL) per coord, flag)."""
+    from nova_tpu.curves.jpoints import xyzz_add
+
+    R, C = d_cm.shape
+    one = jnp.broadcast_to(jnp.asarray(jf.r_limbs, jnp.uint32), (C, NUM_LIMBS))
+    zero = jnp.zeros((C, NUM_LIMBS), jnp.uint32)
+
+    def body(carry, inp):
+        prevd, acc = carry
+        if zz_cm is None:
+            d, x, y = inp
+            live = (d != 0)[:, None]
+            q = {
+                "x": x,
+                "y": y,
+                "zz": jnp.where(live, one, 0),
+                "zzz": jnp.where(live, one, 0),
+            }
+        else:
+            d, x, y, zz, zzz = inp
+            q = {"x": x, "y": y, "zz": zz, "zzz": zzz}
+        boundary = (d != prevd)[:, None]
+        s = xyzz_add(jf, acc, q)
+        flush = {k: jnp.where(boundary, acc[k], 0) for k in acc}
+        newacc = {
+            k: jnp.where(boundary, q[k], s[k]) for k in acc
+        }
+        return (d, newacc), flush
+
+    acc0 = {"x": zero, "y": zero, "zz": zero, "zzz": zero}
+    prev0 = jnp.full((C,), -1, jnp.int32)
+    xs = (d_cm, px_cm, py_cm)
+    if zz_cm is not None:
+        xs = (d_cm, px_cm, py_cm, zz_cm, zzz_cm)
+    (_, colend), flush = jax.lax.scan(body, (prev0, acc0), xs)
+    return flush, colend, jnp.uint32(0)
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+
+def _grid_shape(n_s: int):
+    """(R, C) with R*C >= n_s, C a C_BLK multiple (or 128 for tiny
+    inputs), R a SLAB multiple. Aims R in the hundreds so column-end
+    carries stay ~C-sized and kernel steps stay wide."""
+    if n_s <= (1 << 14):
+        C = max(128, _next_pow2(n_s // 64 or 1))
+    else:
+        C = min(1 << 15, max(C_BLK, _next_pow2(n_s // 1024)))
+    R = -(-n_s // C)
+    R = -(-R // SLAB) * SLAB
+    return R, C
+
+
+def _to_cm(arr, R, C, order):
+    """Gather rows of arr ((N, ...) array) into column-major (R, C, ...):
+    out[i, j] = arr[order[j*R + i]]."""
+    G = order.reshape(C, R).T
+    return arr[G]
+
+
+def _pack_pts(coords, R, C, c_blk):
+    """[(R, C, NL) u32, ...] -> (n_blocks, n_slabs, SLAB, nc, NL, c128, 128)."""
+    nc = len(coords)
+    n_blocks = C // c_blk
+    c128 = c_blk // 128
+    n_slabs = R // SLAB
+    st = jnp.stack(coords)  # (nc, R, C, NL)
+    st = st.reshape(nc, n_slabs, SLAB, n_blocks, c128, 128, NUM_LIMBS)
+    return st.transpose(3, 1, 2, 0, 6, 4, 5)
+
+
+def _pack_digs(d_cm, R, C, c_blk):
+    n_blocks = C // c_blk
+    c128 = c_blk // 128
+    n_slabs = R // SLAB
+    d = d_cm.reshape(n_slabs, SLAB, n_blocks, c128, 128)
+    return d.transpose(2, 0, 1, 3, 4)
+
+
+def _gather_flush(flush, rows, cols, R, C, c_blk):
+    """flush (n_blocks, n_slabs, SLAB, 4, NL, c128, 128); fetch the
+    (4, NL) point at (row, col) per query -> dict of (nq, NL)."""
+    c128 = c_blk // 128
+    blk = cols // c_blk
+    jl = cols % c_blk
+    slab = rows // SLAB
+    srow = rows % SLAB
+    sub = jl // 128
+    lane = jl % 128
+    pt = flush[blk, slab, srow, :, :, sub, lane]  # (nq, 4, NL)
+    return {
+        k: pt[:, i, :] for i, k in enumerate(("x", "y", "zz", "zzz"))
+    }
+
+
+def _suffix_segmented(jf: JField, digs, vals: dict):
+    """Masked Hillis-Steele suffix sums over (m, NL) XYZZ rows grouped by
+    equal digits: afterwards the FIRST row of each run holds the run
+    total. m must be a power of two (pad with digit -1)."""
+    from nova_tpu.curves.jpoints import xyzz_add
+
+    m = digs.shape[0]
+    rounds = int(np.ceil(np.log2(max(2, m))))
+    iota = jnp.arange(m, dtype=jnp.int32)
+
+    def body(r, vals):
+        s = jnp.left_shift(jnp.int32(1), r)
+        keep = iota < (m - s)
+        dsh = jnp.where(keep, jnp.roll(digs, -s), -2)
+        same = (keep & (dsh == digs))[:, None]
+        vsh = {
+            k: jnp.where(same, jnp.roll(v, -s, axis=0), 0)
+            for k, v in vals.items()
+        }
+        added = xyzz_add(jf, vals, vsh)
+        return {k: jnp.where(same, added[k], vals[k]) for k in vals}
+
+    return jax.lax.fori_loop(0, rounds, body, vals)
+
+
+def _weighted_reduce_xla(jf: JField, table: dict):
+    """sum_i (i+1)*T_i = suffix(suffix(T))[0] — two Hillis-Steele suffix
+    passes with the round loop under fori_loop so the XLA graph stays
+    small (the msm2 CPU fallback unrolls a whole add tree, which takes
+    minutes to compile). Returns (NL, 1) coord rows like _bucket_reduce."""
+    from nova_tpu.curves.jpoints import xyzz_add
+
+    nb = table["x"].shape[0]
+    rounds = int(np.log2(nb))
+    iota = jnp.arange(nb, dtype=jnp.int32)
+
+    def body(r, vals):
+        s = jnp.left_shift(jnp.int32(1), r)
+        keep = (iota < (nb - s))[:, None]
+        sh = {
+            k: jnp.where(keep, jnp.roll(v, -s, axis=0), 0)
+            for k, v in vals.items()
+        }
+        return xyzz_add(jf, vals, sh)  # zz=0 partners are identities
+
+    S = jax.lax.fori_loop(0, rounds, body, table)
+    U = jax.lax.fori_loop(0, rounds, body, S)
+    return {k: v[:1].T for k, v in U.items()}
+
+
+def _bucket_totals(jf: JField, sorted_d, flush, colend, d_cm,
+                   R, C, c_blk, nb: int, use_pallas: bool, mode: str):
+    """Recover per-bucket totals from level-1 flush/colend, fixing up
+    runs that span column boundaries via a level-2 pass over the C
+    column-end carries. Returns dict of (nb, NL) XYZZ rows."""
+    from nova_tpu.curves.jpoints import xyzz_add
+
+    bs = jnp.arange(1, nb + 1, dtype=sorted_d.dtype)
+    right = jnp.searchsorted(sorted_d, bs, side="right").astype(jnp.int32)
+    left = jnp.searchsorted(sorted_d, bs, side="left").astype(jnp.int32)
+    exists = right > left
+    t = right - 1  # global tail position of bucket b
+    e = t % R
+    jcol = t // R
+    # tail partial flushed at row e+1 of column jcol — unless the run
+    # touches the column end (e == R-1), in which case it is the
+    # column-end carry and is accounted by level 2 below.
+    take1 = exists & (e < R - 1)
+    rows = jnp.where(take1, e + 1, 0)
+    cols = jnp.where(take1, jcol, 0)
+    if use_pallas:
+        tail1 = _gather_flush(flush, rows, cols, R, C, c_blk)
+    else:
+        tail1 = {k: flush[k][rows, cols] for k in flush}
+    tail1 = {
+        k: jnp.where(take1[:, None], v, 0) for k, v in tail1.items()
+    }
+
+    # level 2: column-end carries, digits = last row of each column
+    dend = d_cm[R - 1]  # (C,) non-decreasing
+    if use_pallas:
+        cend = {
+            k: colend[:, i].transpose(0, 2, 3, 1).reshape(C, NUM_LIMBS)
+            for i, k in enumerate(("x", "y", "zz", "zzz"))
+        }
+        # colend (n_blocks, 4, NL, c128, 128): column j of block b sits
+        # at [b, :, :, (j%c_blk)//128, j%128] — transpose to (n_blocks,
+        # c128, 128, NL) then flatten restores column order
+    else:
+        cend = colend
+
+    if C <= 256:
+        # single suffix pass finishes it
+        m = _next_pow2(C)
+        dpad = jnp.concatenate(
+            [dend, jnp.full((m - C,), -1, dend.dtype)]
+        )
+        vpad = {
+            k: jnp.concatenate(
+                [v, jnp.zeros((m - C, NUM_LIMBS), jnp.uint32)]
+            )
+            for k, v in cend.items()
+        }
+        sums = _suffix_segmented(jf, dpad, vpad)
+        # head position of digit b within dend
+        lh = jnp.searchsorted(dend, bs, side="left").astype(jnp.int32)
+        has = (
+            jnp.searchsorted(dend, bs, side="right").astype(jnp.int32) > lh
+        )
+        l2 = {k: sums[k][jnp.where(has, lh, 0)] for k in sums}
+        l2 = {k: jnp.where(has[:, None], v, 0) for k, v in l2.items()}
+        return xyzz_add(jf, tail1, l2)
+
+    # recurse through the level-2 kernel over (R2, C2 = 128)
+    C2 = 128
+    R2 = C // C2
+    R2p = -(-R2 // SLAB) * SLAB
+    pad = R2p * C2 - C
+    # column-major (R2p, C2): entry (i, j) = index j*R2p + i of the
+    # padded sequence; pad goes at the END (digit -1 sorts nowhere,
+    # use 0x7fffffff so it never merges with a real run... runs only
+    # merge on equality, so any unused value works; keep 0 = inert)
+    dpad = jnp.concatenate([dend, jnp.zeros((pad,), dend.dtype)])
+    vpad = {
+        k: jnp.concatenate([v, jnp.zeros((pad, NUM_LIMBS), jnp.uint32)])
+        for k, v in cend.items()
+    }
+    # NOTE: zero-pad at the end breaks the non-decreasing order (zeros
+    # belong first) — but order only matters for searchsorted lookups on
+    # dend (unpadded, still sorted) and run contiguity. A trailing run
+    # of digit 0 merges nothing (0 = inert, flushed but never gathered).
+    idx2 = jnp.arange(R2p * C2, dtype=jnp.int32)
+    d2_cm = dpad[idx2.reshape(C2, R2p).T]
+    v2_cm = {k: _to_cm(v, R2p, C2, idx2) for k, v in vpad.items()}
+    if use_pallas:
+        # level-2 work is tiny (C adds) and its degenerate flag is not
+        # plumbed to the retry path — always use complete formulas here
+        call = _accum_call(_field_key(jf), R2p, C2, 1, False, "complete")
+        pts2 = _pack_pts(
+            [v2_cm["x"], v2_cm["y"], v2_cm["zz"], v2_cm["zzz"]],
+            R2p, C2, C2,
+        )
+        digs2 = _pack_digs(d2_cm, R2p, C2, C2)
+        flush2, colend2, _ = call(pts2, digs2)
+    else:
+        flush2, colend2, _ = _accum_xla(
+            jf, d2_cm, v2_cm["x"], v2_cm["y"], "complete",
+            v2_cm["zz"], v2_cm["zzz"],
+        )
+
+    # level-2 tails: position of b within the padded sequence
+    right2 = jnp.searchsorted(dpad[: C], bs, side="right").astype(jnp.int32)
+    left2 = jnp.searchsorted(dpad[: C], bs, side="left").astype(jnp.int32)
+    exists2 = right2 > left2
+    t2 = right2 - 1
+    e2 = t2 % R2p
+    j2 = t2 // R2p
+    take2 = exists2 & (e2 < R2p - 1)
+    rows2 = jnp.where(take2, e2 + 1, 0)
+    cols2 = jnp.where(take2, j2, 0)
+    if use_pallas:
+        tail2 = _gather_flush(flush2, rows2, cols2, R2p, C2, C2)
+    else:
+        tail2 = {k: flush2[k][rows2, cols2] for k in flush2}
+    tail2 = {k: jnp.where(take2[:, None], v, 0) for k, v in tail2.items()}
+
+    # level 3: the C2 = 128 level-2 column-end carries via suffix pass
+    dend2 = d2_cm[R2p - 1]  # (C2,)
+    if use_pallas:
+        cend2 = {
+            k: colend2[0, i].transpose(1, 2, 0).reshape(C2, NUM_LIMBS)
+            for i, k in enumerate(("x", "y", "zz", "zzz"))
+        }
+    else:
+        cend2 = colend2
+    sums3 = _suffix_segmented(jf, dend2, cend2)
+    # dend2 is NOT globally sorted (level-2 zero-pad sits at the end),
+    # so locate run heads by masked arg-match instead of searchsorted
+    iota = jnp.arange(C2, dtype=jnp.int32)
+    matches = dend2[None, :] == bs[:, None]  # (nb, C2)
+    headpos = jnp.min(
+        jnp.where(matches, iota[None, :], C2), axis=1
+    )
+    has3 = headpos < C2
+    l3 = {k: sums3[k][jnp.where(has3, headpos, 0)] for k in sums3}
+    l3 = {k: jnp.where(has3[:, None], v, 0) for k, v in l3.items()}
+
+    acc = xyzz_add(jf, tail1, tail2)
+    return xyzz_add(jf, acc, l3)
+
+
+def _msm3_core(jf: JField, d, fx, fy, fyneg, finf, c: int, mode: str):
+    """Shared program body. d: (n_s,) int32 signed digits over the joint
+    window space; fx/fy/fyneg: (n_s, NL) Montgomery rows; finf: (n_s,).
+    Returns ((16, 1) XYZZ window-space sum in standard form, flag)."""
+    n_s = d.shape[0]
+    absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.int32)
+    nb = 1 << (c - 1)
+    R, C = _grid_shape(n_s)
+    pad = R * C - n_s
+
+    idx = jnp.arange(n_s, dtype=jnp.int32)
+    sorted_d, order = jax.lax.sort_key_val(absd, idx)
+    if pad:
+        sorted_d = jnp.concatenate(
+            [jnp.zeros((pad,), jnp.int32), sorted_d]
+        )
+        order = jnp.concatenate([jnp.zeros((pad,), jnp.int32), order])
+        # pad lanes point at row 0 but their digit is 0 -> inert
+    dsg = jnp.where(d < 0, 1, 0).astype(jnp.int32)[order]
+    if pad:
+        pad_mask = jnp.arange(R * C, dtype=jnp.int32) < pad
+        sorted_d = jnp.where(pad_mask, 0, sorted_d)
+
+    d_cm = sorted_d.reshape(C, R).T
+    Gx = order.reshape(C, R).T
+    px_cm = fx[Gx]
+    ycat = jnp.concatenate([fy, fyneg], axis=0)
+    py_cm = ycat[Gx + dsg.reshape(C, R).T * n_s]
+
+    use_pal = _use_pallas()
+    if use_pal:
+        c_blk = min(C_BLK, C)
+        call = _accum_call(
+            _field_key(jf), R, c_blk, C // c_blk, True, mode
+        )
+        pts = _pack_pts([px_cm, py_cm], R, C, c_blk)
+        digs = _pack_digs(d_cm, R, C, c_blk)
+        flush, colend, flag = call(pts, digs)
+        flagv = jnp.max(flag)
+    else:
+        c_blk = C
+        flush, colend, flagv = _accum_xla(
+            jf, d_cm, px_cm, py_cm, "complete"
+        )
+
+    # the d=0 prefix means sorted_d (with pad) is still sorted ascending
+    totals = _bucket_totals(
+        jf, sorted_d, flush, colend, d_cm, R, C, c_blk, nb,
+        use_pal, mode,
+    )
+    if use_pal:
+        s = _bucket_reduce(jf, totals)
+    else:
+        s = _weighted_reduce_xla(jf, totals)
+    return s, flagv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _msm3_program(field_p: int, c: int, limbs, fx, fy, fyneg, finf):
+    jf = JField._instances[field_p]
+    num_windows = (255 + c - 1) // c + 1
+    n = limbs.shape[0]
+    signed_d = signed_digits_device(limbs, c, num_windows)
+    d = signed_d.reshape(num_windows * n)
+    s, flag = _msm3_core(jf, d, fx, fy, fyneg, finf, c, "fast")
+    return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _msm3_program_complete(field_p: int, c: int, limbs, fx, fy, fyneg, finf):
+    jf = JField._instances[field_p]
+    num_windows = (255 + c - 1) // c + 1
+    n = limbs.shape[0]
+    signed_d = signed_digits_device(limbs, c, num_windows)
+    d = signed_d.reshape(num_windows * n)
+    s, _ = _msm3_core(jf, d, fx, fy, fyneg, finf, c, "complete")
+    return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
+
+
+# ---------------------------------------------------------------------------
+# host-facing API
+# ---------------------------------------------------------------------------
+
+
+def _fixed3_host(db: DeviceBases2, c: int, n_pad: int):
+    """Host-side shifted-base construction for non-TPU backends (the XLA
+    compile of the device precompute is prohibitive on CPU; test sizes
+    are small)."""
+    from nova_tpu.curves.spec import AffinePoint
+
+    jf = db.jf
+    curve = db.curve
+    xs = jf.unpack(jf.from_mont(db.x))
+    ys = jf.unpack(jf.from_mont(db.y))
+    infs = np.asarray(db.inf)
+    pts = []
+    for i in range(db.n):
+        if infs[i]:
+            pts.append(AffinePoint.identity(curve))
+        else:
+            pts.append(AffinePoint(curve, xs[i], ys[i]))
+    ident = AffinePoint.identity(curve)
+    pts = (pts + [ident] * n_pad)[:n_pad]
+    W = (255 + c - 1) // c + 1
+    rows_x, rows_y, rows_inf = [], [], []
+    cur = pts
+    for w in range(W):
+        rows_x.extend(p.x if not p.infinity else 0 for p in cur)
+        rows_y.extend(p.y if not p.infinity else 0 for p in cur)
+        rows_inf.extend(p.infinity for p in cur)
+        if w + 1 < W:
+            cur = [p.mul(1 << c) for p in cur]
+    to_mont = jf.jit("to_mont")
+    fx = jnp.asarray(to_mont(jnp.asarray(jf.pack(rows_x))))
+    fy = jnp.asarray(to_mont(jnp.asarray(jf.pack(rows_y))))
+    finf = jnp.asarray(np.array(rows_inf, dtype=bool))
+    return fx, fy, finf
+
+
+def _fixed3(db: DeviceBases2, c: int, n_pad: int):
+    """(fx, fy, fyneg, finf) window-shifted bases incl. negated Y,
+    cached on the DeviceBases2 (once per key/size)."""
+    key = ("v3", c, n_pad)
+    if key not in db._fixed:
+        if _use_pallas():
+            fx, fy, finf = db.fixed(c, n_pad)
+        else:
+            fx, fy, finf = _fixed3_host(db, c, n_pad)
+        fyneg = jax.jit(
+            lambda y: _negate_y(db.jf, y)
+        )(fy)
+        db._fixed[key] = (fx, fy, jnp.asarray(fyneg), finf)
+    return db._fixed[key]
+
+
+def msm_device3(
+    scalars: Sequence[int],
+    bases=None,
+    device_bases: Optional[DeviceBases2] = None,
+    window: int = 16,
+):
+    """Fixed-base MSM through the column-serial engine. Bases are
+    marshalled/precomputed once per (key, size) via DeviceBases2."""
+    n = len(scalars)
+    if n == 0:
+        raise ValueError("empty msm")
+    if device_bases is None:
+        device_bases = DeviceBases2(bases[0].curve, bases)
+    curve = device_bases.curve
+    jf = JField(curve.base)
+
+    n_pad = max(512, _next_pow2(n))
+    limbs = _scalar_limbs(scalars, n_pad)
+    fx, fy, fyneg, finf = _fixed3(device_bases, window, n_pad)
+    out, flag = jax.device_get(
+        _msm3_program(jf.spec.p, window, jnp.asarray(limbs), fx, fy,
+                      fyneg, finf)
+    )
+    if int(flag):
+        out = jax.device_get(
+            _msm3_program_complete(
+                jf.spec.p, window, jnp.asarray(limbs), fx, fy, fyneg, finf
+            )
+        )
+    return _xyzz_row_to_affine(curve, out)
