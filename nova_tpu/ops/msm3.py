@@ -71,6 +71,65 @@ SLAB = 8  # rows per DMA slab
 C_BLK = 1024  # lanes per kernel block
 
 
+def _num_windows(c: int) -> int:
+    return (255 + c - 1) // c + 1
+
+
+def _offset_int(c: int) -> int:
+    """sum_w 2^(c-1) * 2^(c*w): adding this to a scalar makes its
+    unsigned base-2^c digits u_w satisfy d_w = u_w - 2^(c-1) in
+    [-2^(c-1), 2^(c-1)-1] with sum d_w 2^(cw) = s — signed digits with
+    no carry chain (the device-side lax.scan carry propagation measured
+    tens of ms through the remote backend)."""
+    W = _num_windows(c)
+    return sum(1 << (c - 1 + c * w) for w in range(W))
+
+
+def _scalar_ulimbs(scalars, n_pad: int, c: int) -> np.ndarray:
+    """(n_pad, L) uint32 16-bit limbs of s + _offset_int(c)."""
+    off = _offset_int(c)
+    W = _num_windows(c)
+    nbytes = (c * W + 15) // 16 * 2
+    L = nbytes // 2
+    buf = b"".join((int(s) + off).to_bytes(nbytes, "little") for s in scalars)
+    # pad rows encode scalar 0 (u = offset) so they stay digit-0/inert
+    off_row = np.frombuffer(
+        off.to_bytes(nbytes, "little"), dtype="<u2"
+    ).astype(np.uint32)
+    limbs = np.broadcast_to(off_row, (n_pad, L)).copy()
+    limbs[: len(scalars)] = (
+        np.frombuffer(buf, dtype="<u2")
+        .reshape(len(scalars), L)
+        .astype(np.uint32)
+    )
+    return limbs
+
+
+def offset_digits_device(ulimbs, c: int):
+    """(N, L) 16-bit limbs of s+offset -> (W, N) int32 signed digits
+    (pure bit slicing; no scan)."""
+    n, L = ulimbs.shape
+    W = _num_windows(c)
+    mask = jnp.uint32((1 << c) - 1)
+    half = jnp.int32(1 << (c - 1))
+    outs = []
+    for w in range(W):
+        bit_lo = w * c
+        li, ofs = bit_lo // 16, bit_lo % 16
+        if li >= L:
+            d = jnp.zeros((n,), jnp.uint32)
+        else:
+            d = ulimbs[:, li] >> ofs
+            have = 16 - ofs
+            j = li + 1
+            while have < c and j < L:
+                d = d | (ulimbs[:, j] << have)
+                have += 16
+                j += 1
+        outs.append((d & mask).astype(jnp.int32) - half)
+    return jnp.stack(outs)
+
+
 # ---------------------------------------------------------------------------
 # add formulas on limb lists
 # ---------------------------------------------------------------------------
@@ -324,6 +383,16 @@ def _pack_pts(coords, R, C, c_blk):
     return st.transpose(3, 1, 2, 0, 6, 4, 5)
 
 
+def _pack_xy(xy_cm, R, C, c_blk):
+    """(R, C, 2*NL) u32 rows [x||y] -> (n_blocks, n_slabs, SLAB, 2, NL,
+    c128, 128)."""
+    n_blocks = C // c_blk
+    c128 = c_blk // 128
+    n_slabs = R // SLAB
+    st = xy_cm.reshape(n_slabs, SLAB, n_blocks, c128, 128, 2, NUM_LIMBS)
+    return st.transpose(2, 0, 1, 5, 6, 3, 4)
+
+
 def _pack_digs(d_cm, R, C, c_blk):
     n_blocks = C // c_blk
     c128 = c_blk // 128
@@ -539,10 +608,10 @@ def _bucket_totals(jf: JField, sorted_d, flush, colend, d_cm,
     return xyzz_add(jf, acc, l3)
 
 
-def _msm3_core(jf: JField, d, fx, fy, fyneg, finf, c: int, mode: str):
+def _msm3_core(jf: JField, d, xyt, finf, c: int, mode: str):
     """Shared program body. d: (n_s,) int32 signed digits over the joint
-    window space; fx/fy/fyneg: (n_s, NL) Montgomery rows; finf: (n_s,).
-    Returns ((16, 1) XYZZ window-space sum in standard form, flag)."""
+    window space; xyt: (2*n_s, 2*NL) Montgomery rows [x||y ; x||-y];
+    finf: (n_s,). Returns ((16, 1) XYZZ sum in standard form, flag)."""
     n_s = d.shape[0]
     absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.int32)
     nb = 1 << (c - 1)
@@ -563,10 +632,9 @@ def _msm3_core(jf: JField, d, fx, fy, fyneg, finf, c: int, mode: str):
         sorted_d = jnp.where(pad_mask, 0, sorted_d)
 
     d_cm = sorted_d.reshape(C, R).T
-    Gx = order.reshape(C, R).T
-    px_cm = fx[Gx]
-    ycat = jnp.concatenate([fy, fyneg], axis=0)
-    py_cm = ycat[Gx + dsg.reshape(C, R).T * n_s]
+    # one 128-byte-row gather fetches x and the sign-correct y together
+    G2 = (order + dsg * n_s).reshape(C, R).T
+    xy_cm = xyt[G2]
 
     use_pal = _use_pallas()
     if use_pal:
@@ -574,14 +642,15 @@ def _msm3_core(jf: JField, d, fx, fy, fyneg, finf, c: int, mode: str):
         call = _accum_call(
             _field_key(jf), R, c_blk, C // c_blk, True, mode
         )
-        pts = _pack_pts([px_cm, py_cm], R, C, c_blk)
+        pts = _pack_xy(xy_cm, R, C, c_blk)
         digs = _pack_digs(d_cm, R, C, c_blk)
         flush, colend, flag = call(pts, digs)
         flagv = jnp.max(flag)
     else:
         c_blk = C
         flush, colend, flagv = _accum_xla(
-            jf, d_cm, px_cm, py_cm, "complete"
+            jf, d_cm, xy_cm[:, :, :NUM_LIMBS], xy_cm[:, :, NUM_LIMBS:],
+            "complete",
         )
 
     # the d=0 prefix means sorted_d (with pad) is still sorted ascending
@@ -597,24 +666,20 @@ def _msm3_core(jf: JField, d, fx, fy, fyneg, finf, c: int, mode: str):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm3_program(field_p: int, c: int, limbs, fx, fy, fyneg, finf):
+def _msm3_program(field_p: int, c: int, ulimbs, xyt, finf):
     jf = JField._instances[field_p]
-    num_windows = (255 + c - 1) // c + 1
-    n = limbs.shape[0]
-    signed_d = signed_digits_device(limbs, c, num_windows)
-    d = signed_d.reshape(num_windows * n)
-    s, flag = _msm3_core(jf, d, fx, fy, fyneg, finf, c, "fast")
+    n = ulimbs.shape[0]
+    d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
+    s, flag = _msm3_core(jf, d, xyt, finf, c, "fast")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm3_program_complete(field_p: int, c: int, limbs, fx, fy, fyneg, finf):
+def _msm3_program_complete(field_p: int, c: int, ulimbs, xyt, finf):
     jf = JField._instances[field_p]
-    num_windows = (255 + c - 1) // c + 1
-    n = limbs.shape[0]
-    signed_d = signed_digits_device(limbs, c, num_windows)
-    d = signed_d.reshape(num_windows * n)
-    s, _ = _msm3_core(jf, d, fx, fy, fyneg, finf, c, "complete")
+    n = ulimbs.shape[0]
+    d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
+    s, _ = _msm3_core(jf, d, xyt, finf, c, "complete")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
 
 
@@ -659,18 +724,24 @@ def _fixed3_host(db: DeviceBases2, c: int, n_pad: int):
 
 
 def _fixed3(db: DeviceBases2, c: int, n_pad: int):
-    """(fx, fy, fyneg, finf) window-shifted bases incl. negated Y,
-    cached on the DeviceBases2 (once per key/size)."""
+    """(xyt, finf): xyt (2*n_s, 2*NL) = [x||y ; x||-y] window-shifted
+    bases so one row gather fetches a sign-adjusted affine point; cached
+    on the DeviceBases2 (once per key/size)."""
     key = ("v3", c, n_pad)
     if key not in db._fixed:
         if _use_pallas():
             fx, fy, finf = db.fixed(c, n_pad)
         else:
             fx, fy, finf = _fixed3_host(db, c, n_pad)
-        fyneg = jax.jit(
-            lambda y: _negate_y(db.jf, y)
-        )(fy)
-        db._fixed[key] = (fx, fy, jnp.asarray(fyneg), finf)
+
+        @jax.jit
+        def build(fx, fy):
+            fyneg = _negate_y(db.jf, fy)
+            pos = jnp.concatenate([fx, fy], axis=1)
+            neg = jnp.concatenate([fx, fyneg], axis=1)
+            return jnp.concatenate([pos, neg], axis=0)
+
+        db._fixed[key] = (jnp.asarray(build(fx, fy)), finf)
     return db._fixed[key]
 
 
@@ -691,16 +762,15 @@ def msm_device3(
     jf = JField(curve.base)
 
     n_pad = max(512, _next_pow2(n))
-    limbs = _scalar_limbs(scalars, n_pad)
-    fx, fy, fyneg, finf = _fixed3(device_bases, window, n_pad)
+    ulimbs = _scalar_ulimbs(scalars, n_pad, window)
+    xyt, finf = _fixed3(device_bases, window, n_pad)
     out, flag = jax.device_get(
-        _msm3_program(jf.spec.p, window, jnp.asarray(limbs), fx, fy,
-                      fyneg, finf)
+        _msm3_program(jf.spec.p, window, jnp.asarray(ulimbs), xyt, finf)
     )
     if int(flag):
         out = jax.device_get(
             _msm3_program_complete(
-                jf.spec.p, window, jnp.asarray(limbs), fx, fy, fyneg, finf
+                jf.spec.p, window, jnp.asarray(ulimbs), xyt, finf
             )
         )
     return _xyzz_row_to_affine(curve, out)

@@ -1,6 +1,9 @@
 """MSM v2 sweep on TPU: correctness check at 2^12, perf at 2^16..2^20."""
 
 import os
+
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import sys
