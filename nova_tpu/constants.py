@@ -19,3 +19,9 @@ BN_N_LIMBS = 4
 # latency. With the accelerator behind a network tunnel each dispatch costs
 # ~0.5-2s, so the crossover sits high; on locally-attached chips it drops.
 DEVICE_THRESHOLD = 1 << 17
+
+# Crossover for the fully device-resident fold pipeline (FVec state, fused
+# commit_T program, Montgomery-scalar MSM). Lower than DEVICE_THRESHOLD:
+# the fused path pays ~2 dispatches per cross-term instead of ~10 eager
+# kernel calls, so it wins already at augmented-circuit size (2^14).
+FOLD_DEVICE_THRESHOLD = 1 << 13

@@ -7,7 +7,14 @@ def device_ok() -> bool:
     """True when a real accelerator backend is active. The CPU XLA backend
     exists for the virtual-mesh tests; its compile times and throughput on
     the big integer kernels are far worse than the native C++ host path,
-    so size-threshold dispatch only engages off-CPU."""
+    so size-threshold dispatch only engages off-CPU.
+
+    NOVA_TPU_FORCE_DEVICE=1 forces True — used by tests to drive the
+    device-resident (FVec) prover paths through the CPU backend."""
+    import os
+
+    if os.environ.get("NOVA_TPU_FORCE_DEVICE"):
+        return True
     try:
         import jax
 

@@ -608,49 +608,66 @@ def _bucket_totals(jf: JField, sorted_d, flush, colend, d_cm,
     return xyzz_add(jf, acc, l3)
 
 
-def _msm3_core(jf: JField, d, xyt, finf, c: int, mode: str):
+def _msm3_core(jf: JField, d, xT, yT, ynegT, finf, c: int, mode: str):
     """Shared program body. d: (n_s,) int32 signed digits over the joint
-    window space; xyt: (2*n_s, 2*NL) Montgomery rows [x||y ; x||-y];
-    finf: (n_s,). Returns ((16, 1) XYZZ sum in standard form, flag)."""
+    window space; xT/yT/ynegT: (NL, n_s) Montgomery limb rows (transposed
+    so each limb is a sort operand); finf: (n_s,). Returns ((16, 1) XYZZ
+    sum in standard form, flag).
+
+    The points travel THROUGH the variadic sort as 32 extra u32 operands:
+    XLA's TPU sort moves payload at streaming bandwidth (~0.7 ms for 8
+    operands at 2^20) whereas a post-sort row gather runs at ~3-10 GB/s
+    (50 ms for the same data) — gathers are the enemy on this backend."""
     n_s = d.shape[0]
     absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.int32)
+    dneg = d < 0
     nb = 1 << (c - 1)
     R, C = _grid_shape(n_s)
     pad = R * C - n_s
 
-    idx = jnp.arange(n_s, dtype=jnp.int32)
-    sorted_d, order = jax.lax.sort_key_val(absd, idx)
+    x_cols = [xT[l] for l in range(NUM_LIMBS)]
+    y_cols = [
+        jnp.where(dneg, ynegT[l], yT[l]) for l in range(NUM_LIMBS)
+    ]
+    outs = jax.lax.sort(
+        tuple([absd] + x_cols + y_cols), num_keys=1, is_stable=False
+    )
+    sorted_d = outs[0]
+    st = jnp.stack(outs[1:])  # (2*NL, n_s) in sorted order
     if pad:
         sorted_d = jnp.concatenate(
             [jnp.zeros((pad,), jnp.int32), sorted_d]
         )
-        order = jnp.concatenate([jnp.zeros((pad,), jnp.int32), order])
-        # pad lanes point at row 0 but their digit is 0 -> inert
-    dsg = jnp.where(d < 0, 1, 0).astype(jnp.int32)[order]
-    if pad:
-        pad_mask = jnp.arange(R * C, dtype=jnp.int32) < pad
-        sorted_d = jnp.where(pad_mask, 0, sorted_d)
+        st = jnp.concatenate(
+            [jnp.zeros((2 * NUM_LIMBS, pad), jnp.uint32), st], axis=1
+        )
 
-    d_cm = sorted_d.reshape(C, R).T
-    # one 128-byte-row gather fetches x and the sign-correct y together
-    G2 = (order + dsg * n_s).reshape(C, R).T
-    xy_cm = xyt[G2]
+    d_cm = sorted_d.reshape(C, R).T  # (R, C) grid rows
 
     use_pal = _use_pallas()
     if use_pal:
         c_blk = min(C_BLK, C)
+        n_blocks = C // c_blk
+        c128 = c_blk // 128
+        n_slabs = R // SLAB
         call = _accum_call(
-            _field_key(jf), R, c_blk, C // c_blk, True, mode
+            _field_key(jf), R, c_blk, n_blocks, True, mode
         )
-        pts = _pack_xy(xy_cm, R, C, c_blk)
-        digs = _pack_digs(d_cm, R, C, c_blk)
+        pts = st.reshape(
+            2, NUM_LIMBS, n_blocks, c128, 128, n_slabs, SLAB
+        ).transpose(2, 5, 6, 0, 1, 3, 4)
+        digs = sorted_d.reshape(
+            n_blocks, c128, 128, n_slabs, SLAB
+        ).transpose(0, 3, 4, 1, 2)
         flush, colend, flag = call(pts, digs)
         flagv = jnp.max(flag)
     else:
         c_blk = C
+        stc = st.reshape(2, NUM_LIMBS, C, R)
+        px_cm = stc[0].transpose(2, 1, 0)
+        py_cm = stc[1].transpose(2, 1, 0)
         flush, colend, flagv = _accum_xla(
-            jf, d_cm, xy_cm[:, :, :NUM_LIMBS], xy_cm[:, :, NUM_LIMBS:],
-            "complete",
+            jf, d_cm, px_cm, py_cm, "complete"
         )
 
     # the d=0 prefix means sorted_d (with pad) is still sorted ascending
@@ -665,21 +682,105 @@ def _msm3_core(jf: JField, d, xyt, finf, c: int, mode: str):
     return s, flagv
 
 
+def _off_limbs16(c: int) -> np.ndarray:
+    off = _offset_int(c)
+    W = _num_windows(c)
+    nbytes = (c * W + 15) // 16 * 2
+    return np.frombuffer(
+        off.to_bytes(nbytes, "little"), dtype="<u2"
+    ).astype(np.uint32)
+
+
+def add_offset_device(s16, c: int):
+    """(n, 16) standard-form 16-bit limbs -> (n, L) limbs of
+    s + _offset_int(c), carries resolved by Kogge-Stone generate/propagate
+    rounds over the limb axis (log2(L) elementwise steps, no scan)."""
+    n = s16.shape[0]
+    offl = _off_limbs16(c)
+    L = offl.shape[0]
+    a = s16
+    if L > NUM_LIMBS:
+        a = jnp.concatenate(
+            [a, jnp.zeros((n, L - NUM_LIMBS), jnp.uint32)], axis=1
+        )
+    s = a + jnp.asarray(offl)[None, :]
+    G = (s >> 16) != 0
+    P = (s & jnp.uint32(0xFFFF)) == jnp.uint32(0xFFFF)
+    d = 1
+    while d < L:
+        Gs = jnp.pad(G, ((0, 0), (d, 0)))[:, :L]
+        Ps = jnp.pad(P, ((0, 0), (d, 0)))[:, :L]
+        G = G | (P & Gs)
+        P = P & Ps
+        d <<= 1
+    cin = jnp.pad(G, ((0, 0), (1, 0)))[:, :L]
+    return (s + cin.astype(jnp.uint32)) & jnp.uint32(0xFFFF)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _msm3_program_m(scalar_p: int, base_p: int, c: int, mode: str,
+                    marr, xT, yT, ynegT, finf):
+    """MSM with device-resident Montgomery scalars: the scalar vector
+    never touches the host (kills the pack/unpack tax on commit paths).
+    Scalars reduce in the curve's SCALAR field; point limbs in the BASE
+    field."""
+    sf = JField._instances[scalar_p]
+    jf = JField._instances[base_p]
+    n = marr.shape[0]
+    s16 = sf.from_mont(marr)
+    u = add_offset_device(s16, c)
+    d = offset_digits_device(u, c).reshape(_num_windows(c) * n)
+    s, flag = _msm3_core(jf, d, xT, yT, ynegT, finf, c, mode)
+    return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
+
+
+def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16):
+    """Fixed-base MSM over a (n, 16) uint32 Montgomery-form device array
+    of scalars in the curve's scalar field (e.g. an FVec's .m)."""
+    n = int(marr.shape[0])
+    curve = device_bases.curve
+    if not _use_pallas():
+        # CPU fallback: wide windows explode the 2^(c-1)-bucket lookup
+        # tables the XLA path compiles; tests only need correctness
+        window = min(window, 9)
+    n_pad = max(512, _next_pow2(n))
+    if n_pad != n:
+        marr = jnp.concatenate(
+            [marr, jnp.zeros((n_pad - n, NUM_LIMBS), jnp.uint32)]
+        )
+    sf = JField(curve.scalar)
+    bf = JField(curve.base)
+    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad)
+    out, flag = jax.device_get(
+        _msm3_program_m(
+            sf.spec.p, bf.spec.p, window, "fast", marr, xT, yT, ynegT, finf
+        )
+    )
+    if int(flag):
+        out, _ = jax.device_get(
+            _msm3_program_m(
+                sf.spec.p, bf.spec.p, window, "complete",
+                marr, xT, yT, ynegT, finf,
+            )
+        )
+    return _xyzz_row_to_affine(curve, out)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm3_program(field_p: int, c: int, ulimbs, xyt, finf):
+def _msm3_program(field_p: int, c: int, ulimbs, xT, yT, ynegT, finf):
     jf = JField._instances[field_p]
     n = ulimbs.shape[0]
     d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
-    s, flag = _msm3_core(jf, d, xyt, finf, c, "fast")
+    s, flag = _msm3_core(jf, d, xT, yT, ynegT, finf, c, "fast")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm3_program_complete(field_p: int, c: int, ulimbs, xyt, finf):
+def _msm3_program_complete(field_p: int, c: int, ulimbs, xT, yT, ynegT, finf):
     jf = JField._instances[field_p]
     n = ulimbs.shape[0]
     d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
-    s, _ = _msm3_core(jf, d, xyt, finf, c, "complete")
+    s, _ = _msm3_core(jf, d, xT, yT, ynegT, finf, c, "complete")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
 
 
@@ -724,8 +825,8 @@ def _fixed3_host(db: DeviceBases2, c: int, n_pad: int):
 
 
 def _fixed3(db: DeviceBases2, c: int, n_pad: int):
-    """(xyt, finf): xyt (2*n_s, 2*NL) = [x||y ; x||-y] window-shifted
-    bases so one row gather fetches a sign-adjusted affine point; cached
+    """(xT, yT, ynegT, finf): (NL, n_s) transposed limb rows of the
+    window-shifted bases (each limb is a variadic-sort operand); cached
     on the DeviceBases2 (once per key/size)."""
     key = ("v3", c, n_pad)
     if key not in db._fixed:
@@ -737,11 +838,12 @@ def _fixed3(db: DeviceBases2, c: int, n_pad: int):
         @jax.jit
         def build(fx, fy):
             fyneg = _negate_y(db.jf, fy)
-            pos = jnp.concatenate([fx, fy], axis=1)
-            neg = jnp.concatenate([fx, fyneg], axis=1)
-            return jnp.concatenate([pos, neg], axis=0)
+            return fx.T, fy.T, fyneg.T
 
-        db._fixed[key] = (jnp.asarray(build(fx, fy)), finf)
+        xT, yT, ynegT = build(fx, fy)
+        db._fixed[key] = (
+            jnp.asarray(xT), jnp.asarray(yT), jnp.asarray(ynegT), finf
+        )
     return db._fixed[key]
 
 
@@ -763,14 +865,16 @@ def msm_device3(
 
     n_pad = max(512, _next_pow2(n))
     ulimbs = _scalar_ulimbs(scalars, n_pad, window)
-    xyt, finf = _fixed3(device_bases, window, n_pad)
+    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad)
     out, flag = jax.device_get(
-        _msm3_program(jf.spec.p, window, jnp.asarray(ulimbs), xyt, finf)
+        _msm3_program(
+            jf.spec.p, window, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+        )
     )
     if int(flag):
         out = jax.device_get(
             _msm3_program_complete(
-                jf.spec.p, window, jnp.asarray(ulimbs), xyt, finf
+                jf.spec.p, window, jnp.asarray(ulimbs), xT, yT, ynegT, finf
             )
         )
     return _xyzz_row_to_affine(curve, out)

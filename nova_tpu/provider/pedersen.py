@@ -255,7 +255,19 @@ class CommitmentEngine:
 
     @staticmethod
     def commit(ck: CommitmentKey, v: Sequence[int], r: int = 0) -> Commitment:
+        from nova_tpu.constants import FOLD_DEVICE_THRESHOLD
+        from nova_tpu.ops.fvec import FVec
+
         assert len(ck.ck) >= len(v), (len(ck.ck), len(v))
+        if isinstance(v, FVec):
+            if _device_ok() and len(v) >= FOLD_DEVICE_THRESHOLD:
+                from nova_tpu.ops.msm3 import msm_device3_mont
+
+                acc = msm_device3_mont(v.m, ck.device_bases2(len(v)))
+                if r:
+                    acc = acc.add(ck.h.mul(r))
+                return Commitment(acc)
+            v = v.to_ints()
         if len(v) == 0:
             acc = AffinePoint.identity(ck.curve)
         elif len(v) >= DEVICE_THRESHOLD and _device_ok():

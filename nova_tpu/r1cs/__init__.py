@@ -14,7 +14,12 @@ import secrets
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
-from nova_tpu.constants import BN_LIMB_WIDTH, BN_N_LIMBS, DEVICE_THRESHOLD
+from nova_tpu.constants import (
+    BN_LIMB_WIDTH,
+    BN_N_LIMBS,
+    DEVICE_THRESHOLD,
+    FOLD_DEVICE_THRESHOLD,
+)
 from nova_tpu.errors import (
     InvalidIndexError,
     InvalidInputLengthError,
@@ -188,31 +193,57 @@ class R1CSShape:
         if U.comm_W != CommitmentEngine.commit(ck, W.W, W.r_W):
             raise UnSatError("Invalid commitment")
 
+    def _fold_on_device(self) -> bool:
+        from nova_tpu.ops import device_ok
+
+        return (
+            self.num_cons >= FOLD_DEVICE_THRESHOLD
+            and self.num_cons == self.num_vars  # regular padded shape
+            and device_ok()
+        )
+
     # --- folding cross-term (src/r1cs/mod.rs:533-619, Mova §5.2 trick) ---
     def commit_T(self, ck, U1, W1, U2, W2, r_T):
+        if self._fold_on_device():
+            from nova_tpu.ops.fold import commit_T_device
+
+            T = commit_T_device(self, U1, W1, U2, W2, relaxed=False)
+            return T, CommitmentEngine.commit(ck, T, r_T)
         p = self.field.p
-        Z = [(w1 + w2) % p for w1, w2 in zip(W1.W, W2.W)]
+        from nova_tpu.ops.fvec import as_list
+
+        W1W, W2W, W1E = as_list(W1.W), as_list(W2.W), as_list(W1.E)
+        Z = [(w1 + w2) % p for w1, w2 in zip(W1W, W2W)]
         Z.append((U1.u + 1) % p)
         Z.extend((x1 + x2) % p for x1, x2 in zip(U1.X, U2.X))
         u = (U1.u + 1) % p
         AZ, BZ, CZ = self.multiply_vec(Z)
         T = [
             (az * bz - u * cz - e) % p
-            for az, bz, cz, e in zip(AZ, BZ, CZ, W1.E)
+            for az, bz, cz, e in zip(AZ, BZ, CZ, W1E)
         ]
         comm_T = CommitmentEngine.commit(ck, T, r_T)
         return T, comm_T
 
     def commit_T_relaxed(self, ck, U1, W1, U2, W2, r_T):
+        if self._fold_on_device():
+            from nova_tpu.ops.fold import commit_T_device
+
+            T = commit_T_device(self, U1, W1, U2, W2, relaxed=True)
+            return T, CommitmentEngine.commit(ck, T, r_T)
         p = self.field.p
-        Z = [(w1 + w2) % p for w1, w2 in zip(W1.W, W2.W)]
+        from nova_tpu.ops.fvec import as_list
+
+        W1W, W2W = as_list(W1.W), as_list(W2.W)
+        W1E, W2E = as_list(W1.E), as_list(W2.E)
+        Z = [(w1 + w2) % p for w1, w2 in zip(W1W, W2W)]
         Z.append((U1.u + U2.u) % p)
         Z.extend((x1 + x2) % p for x1, x2 in zip(U1.X, U2.X))
         u = (U1.u + U2.u) % p
         AZ, BZ, CZ = self.multiply_vec(Z)
         T = [
             (az * bz - u * cz - e1 - e2) % p
-            for az, bz, cz, e1, e2 in zip(AZ, BZ, CZ, W1.E, W2.E)
+            for az, bz, cz, e1, e2 in zip(AZ, BZ, CZ, W1E, W2E)
         ]
         comm_T = CommitmentEngine.commit(ck, T, r_T)
         return T, comm_T
@@ -363,20 +394,34 @@ class RelaxedR1CSWitness:
             CommitmentEngine.commit(ck, self.E, self.r_E),
         )
 
+    def _dev_fold(self, field: FieldSpec) -> bool:
+        from nova_tpu.ops import device_ok
+        from nova_tpu.ops.fvec import FVec
+
+        return (
+            isinstance(self.W, FVec)
+            or len(self.W) >= FOLD_DEVICE_THRESHOLD
+        ) and device_ok()
+
     def fold(self, field: FieldSpec, W2: R1CSWitness, T: Sequence[int], r_T: int, r: int):
         """W <- W1 + r*W2 ; E <- E1 + r*T (src/r1cs/mod.rs:989-1018)."""
         if len(self.W) != len(W2.W):
             raise InvalidWitnessLengthError()
         p = field.p
-        from nova_tpu.ops import device_ok
+        if self._dev_fold(field):
+            from nova_tpu.fields.jfield import JField
+            from nova_tpu.ops.fvec import FVec
 
-        if len(self.W) >= DEVICE_THRESHOLD and device_ok():
-            from nova_tpu.ops.fold import fold_witness_device
-
-            W, E = fold_witness_device(field, self.W, W2.W, self.E, T, r)
+            jf = JField(field)
+            W = FVec.coerce(jf, self.W).axpy(r, FVec.coerce(jf, W2.W))
+            E = FVec.coerce(jf, self.E).axpy(r, FVec.coerce(jf, T))
         else:
-            W = [(a + r * b) % p for a, b in zip(self.W, W2.W)]
-            E = [(a + r * b) % p for a, b in zip(self.E, T)]
+            from nova_tpu.ops.fvec import as_list
+
+            W1W, W2W = as_list(self.W), as_list(W2.W)
+            E1, Tl = as_list(self.E), as_list(T)
+            W = [(a + r * b) % p for a, b in zip(W1W, W2W)]
+            E = [(a + r * b) % p for a, b in zip(E1, Tl)]
         return RelaxedR1CSWitness(W, (self.r_W + r * W2.r_W) % p, E, (self.r_E + r * r_T) % p)
 
     def fold_relaxed(self, field: FieldSpec, W2: "RelaxedR1CSWitness", T: Sequence[int], r_T: int, r: int):
@@ -384,8 +429,24 @@ class RelaxedR1CSWitness:
             raise InvalidWitnessLengthError()
         p = field.p
         r2 = r * r % p
-        W = [(a + r * b) % p for a, b in zip(self.W, W2.W)]
-        E = [(a + r * t + r2 * e2) % p for a, t, e2 in zip(self.E, T, W2.E)]
+        if self._dev_fold(field):
+            from nova_tpu.fields.jfield import JField
+            from nova_tpu.ops.fvec import FVec
+
+            jf = JField(field)
+            W = FVec.coerce(jf, self.W).axpy(r, FVec.coerce(jf, W2.W))
+            E = FVec.coerce(jf, self.E).axpy2(
+                r, FVec.coerce(jf, T), r2, FVec.coerce(jf, W2.E)
+            )
+        else:
+            from nova_tpu.ops.fvec import as_list
+
+            W1W, W2W = as_list(self.W), as_list(W2.W)
+            E1, Tl, E2 = as_list(self.E), as_list(T), as_list(W2.E)
+            W = [(a + r * b) % p for a, b in zip(W1W, W2W)]
+            E = [
+                (a + r * t + r2 * e2) % p for a, t, e2 in zip(E1, Tl, E2)
+            ]
         return RelaxedR1CSWitness(
             W,
             (self.r_W + r * W2.r_W) % p,
@@ -394,6 +455,16 @@ class RelaxedR1CSWitness:
         )
 
     def pad(self, S: R1CSShape) -> "RelaxedR1CSWitness":
+        from nova_tpu.ops.fvec import FVec
+
+        if isinstance(self.W, FVec):
+            return RelaxedR1CSWitness(
+                self.W.pad_to(S.num_vars), self.r_W,
+                (self.E.pad_to(S.num_cons)
+                 if isinstance(self.E, FVec)
+                 else list(self.E) + [0] * (S.num_cons - len(self.E))),
+                self.r_E,
+            )
         W = list(self.W) + [0] * (S.num_vars - len(self.W))
         E = list(self.E) + [0] * (S.num_cons - len(self.E))
         return RelaxedR1CSWitness(W, self.r_W, E, self.r_E)
