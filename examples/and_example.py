@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nova_tpu._env import apply_platform_env
+
+apply_platform_env()
+
 from nova_tpu.frontend.boolean import AllocatedBit
 from nova_tpu.frontend.constraint_system import LinearCombination, lc
 from nova_tpu.frontend.num import AllocatedNum
@@ -27,8 +31,11 @@ rng = random.Random()
 
 
 def u64_into_bit_vec_le(cs, value):
+    vfn = value if callable(value) else (lambda: value)
     return [
-        AllocatedBit.alloc(cs, None if value is None else bool((value >> i) & 1))
+        AllocatedBit.alloc(
+            cs, lambda i=i: None if vfn() is None else bool((vfn() >> i) & 1)
+        )
         for i in range(64)
     ]
 
@@ -36,13 +43,20 @@ def u64_into_bit_vec_le(cs, value):
 def le_bits_to_num(cs, bits):
     out_lc = LinearCombination.zero()
     coeff = 1
-    fe = 0
     for bit in bits:
         out_lc = out_lc + (coeff, bit.get_variable())
-        if bit.get_value():
-            fe += coeff
         coeff <<= 1
-    num = AllocatedNum.alloc(cs, fe % cs.field.p)
+
+    def fe():
+        acc = 0
+        c = 1
+        for bit in bits:
+            if bit.get_value():
+                acc += c
+            c <<= 1
+        return acc % cs.field.p
+
+    num = AllocatedNum.alloc(cs, fe)
     out_lc = out_lc - num.get_variable()
     cs.enforce(LinearCombination.zero(), LinearCombination.zero(), out_lc)
     return num
@@ -62,7 +76,9 @@ class AndCircuit(StepCircuit):
     def synthesize(self, cs, z_in):
         from nova_tpu.frontend.constraint_system import ONE
 
-        for a_val, b_val in self.batch:
+        for k in range(len(self.batch)):
+            a_val = lambda k=k: self.batch[k][0]  # noqa: E731
+            b_val = lambda k=k: self.batch[k][1]  # noqa: E731
             a = AllocatedNum.alloc(cs, a_val)
             b = AllocatedNum.alloc(cs, b_val)
             a_bits = u64_into_bit_vec_le(cs, a_val)
@@ -77,7 +93,7 @@ class AndCircuit(StepCircuit):
                 AllocatedBit.and_(cs, x, y) for x, y in zip(a_bits, b_bits)
             ]
             c_from_bits = le_bits_to_num(cs, c_bits)
-            c = AllocatedNum.alloc(cs, a_val & b_val)
+            c = AllocatedNum.alloc(cs, lambda k=k: self.batch[k][0] & self.batch[k][1])
             cs.enforce(lc((1, c.get_variable())), lc((1, ONE)),
                        lc((1, c_from_bits.get_variable())))
         return list(z_in)

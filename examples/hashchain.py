@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nova_tpu._env import apply_platform_env
+
+apply_platform_env()
+
 from nova_tpu.frontend.num import AllocatedNum
 from nova_tpu.gadgets.poseidon_circuit import Elt, sponge_hash_circuit
 from nova_tpu.nova.circuit import StepCircuit
@@ -40,7 +44,10 @@ class HashChainCircuit(StepCircuit):
 
     def synthesize(self, cs, z_in):
         assert len(z_in) == 1
-        xs = [AllocatedNum.alloc(cs, v) for v in self.x_i]
+        xs = [
+            AllocatedNum.alloc(cs, lambda i=i: self.x_i[i])
+            for i in range(len(self.x_i))
+        ]
         elts = [Elt.from_allocated(e) for e in list(z_in) + xs]
         z_out = sponge_hash_circuit(cs, self._consts, elts)
         return [z_out]

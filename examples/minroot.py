@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nova_tpu._env import apply_platform_env
+
+apply_platform_env()
+
 from nova_tpu.frontend.constraint_system import ONE, lc
 from nova_tpu.frontend.num import AllocatedNum
 from nova_tpu.nova.circuit import StepCircuit
@@ -55,8 +59,8 @@ class MinRootCircuit(StepCircuit):
             return list(z)
         f = cs.field
         x_i, y_i = z[0], z[1]
-        for it in self.seq:
-            x_next = AllocatedNum.alloc(cs, it.x_i_plus_1)
+        for k in range(len(self.seq)):
+            x_next = AllocatedNum.alloc(cs, lambda k=k: self.seq[k].x_i_plus_1)
             sq = x_next.square(cs)
             quad = sq.square(cs)
             # quad * x_next = x_i + y_i

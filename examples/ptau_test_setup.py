@@ -10,6 +10,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from nova_tpu._env import apply_platform_env
+
+apply_platform_env()
+
 from nova_tpu.curves.spec import bn254
 from nova_tpu.provider import ptau
 

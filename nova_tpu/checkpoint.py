@@ -30,9 +30,10 @@ def save_recursive_snark(path: str, pp, rs) -> None:
     """Checkpoint an IVC computation after any step."""
     with open(path, "wb") as f:
         f.write(_MAGIC)
-        blob = serde.dumps(
-            {"pp_digest": pp.digest(), "i": rs.i, "state": dict(rs.__dict__)}
-        )
+        # underscore fields are runtime caches (e.g. compiled witness
+        # tapes) — not part of the proof state, and not serializable
+        state = {k: v for k, v in rs.__dict__.items() if not k.startswith("_")}
+        blob = serde.dumps({"pp_digest": pp.digest(), "i": rs.i, "state": state})
         f.write(struct.pack("<Q", len(blob)))
         f.write(blob)
 
@@ -54,6 +55,8 @@ def load_recursive_snark(path: str, pp):
         )
     rs = RecursiveSNARK.__new__(RecursiveSNARK)
     rs.__dict__.update(d["state"])
+    rs._wgen_primary = None
+    rs._wgen_secondary = None
     return rs
 
 

@@ -24,87 +24,121 @@ class AllocatedBit:
         return self.variable
 
     @staticmethod
-    def alloc(cs: ConstraintSystem, value: Optional[bool]) -> "AllocatedBit":
-        var = cs.alloc(None if value is None else (1 if value else 0))
+    def _alloc_bit(cs: ConstraintSystem, value) -> "AllocatedBit":
+        """Allocate a bit from a bool / None / closure-returning-bool."""
+        var, v = cs.alloc2(value)
+        bit = AllocatedBit(var, v)
+        cs.bind(var, bit)
+        return bit
+
+    @staticmethod
+    def alloc(cs: ConstraintSystem, value) -> "AllocatedBit":
+        bit = AllocatedBit._alloc_bit(cs, value)
         # (1 - a) * a = 0
         cs.enforce(
-            LinearCombination.from_variable(ONE) - var,
-            LinearCombination.from_variable(var),
+            LinearCombination.from_variable(ONE) - bit.variable,
+            LinearCombination.from_variable(bit.variable),
             LinearCombination.zero(),
         )
-        return AllocatedBit(var, value)
+        return bit
 
     @staticmethod
     def alloc_conditionally(
-        cs: ConstraintSystem, value: Optional[bool], must_be_false: "AllocatedBit"
+        cs: ConstraintSystem, value, must_be_false: "AllocatedBit"
     ) -> "AllocatedBit":
-        var = cs.alloc(None if value is None else (1 if value else 0))
+        bit = AllocatedBit._alloc_bit(cs, value)
         # (1 - must_be_false - a) * a = 0 (boolean.rs:42-80)
         cs.enforce(
-            LinearCombination.from_variable(ONE) - must_be_false.variable - var,
-            LinearCombination.from_variable(var),
+            LinearCombination.from_variable(ONE) - must_be_false.variable - bit.variable,
+            LinearCombination.from_variable(bit.variable),
             LinearCombination.zero(),
         )
-        return AllocatedBit(var, value)
+        return bit
 
     @staticmethod
     def xor(cs: ConstraintSystem, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        val = None if a.value is None or b.value is None else (a.value != b.value)
-        var = cs.alloc(None if val is None else (1 if val else 0))
+        def _val():
+            if a.value is None or b.value is None:
+                return None
+            return (a.value != b.value)
+
+        bit = AllocatedBit._alloc_bit(cs, _val)
+        var = bit.variable
         # (2a) * b = a + b - c  (boolean.rs:116)
         cs.enforce(
             LinearCombination.zero() + (2, a.variable),
             LinearCombination.from_variable(b.variable),
             LinearCombination.from_variable(a.variable) + b.variable - var,
         )
-        return AllocatedBit(var, val)
+        return bit
 
     @staticmethod
     def and_(cs: ConstraintSystem, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        val = None if a.value is None or b.value is None else (a.value and b.value)
-        var = cs.alloc(None if val is None else (1 if val else 0))
+        def _val():
+            if a.value is None or b.value is None:
+                return None
+            return (a.value and b.value)
+
+        bit = AllocatedBit._alloc_bit(cs, _val)
+        var = bit.variable
         # a * b = c
         cs.enforce(
             LinearCombination.from_variable(a.variable),
             LinearCombination.from_variable(b.variable),
             LinearCombination.from_variable(var),
         )
-        return AllocatedBit(var, val)
+        return bit
 
     @staticmethod
     def and_not(cs: ConstraintSystem, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        val = None if a.value is None or b.value is None else (a.value and not b.value)
-        var = cs.alloc(None if val is None else (1 if val else 0))
+        def _val():
+            if a.value is None or b.value is None:
+                return None
+            return (a.value and not b.value)
+
+        bit = AllocatedBit._alloc_bit(cs, _val)
+        var = bit.variable
         # a * (1 - b) = c
         cs.enforce(
             LinearCombination.from_variable(a.variable),
             LinearCombination.from_variable(ONE) - b.variable,
             LinearCombination.from_variable(var),
         )
-        return AllocatedBit(var, val)
+        return bit
 
     @staticmethod
     def nor(cs: ConstraintSystem, a: "AllocatedBit", b: "AllocatedBit") -> "AllocatedBit":
-        val = None if a.value is None or b.value is None else (not a.value and not b.value)
-        var = cs.alloc(None if val is None else (1 if val else 0))
+        def _val():
+            if a.value is None or b.value is None:
+                return None
+            return (not a.value and not b.value)
+
+        bit = AllocatedBit._alloc_bit(cs, _val)
+        var = bit.variable
         # (1 - a) * (1 - b) = c
         cs.enforce(
             LinearCombination.from_variable(ONE) - a.variable,
             LinearCombination.from_variable(ONE) - b.variable,
             LinearCombination.from_variable(var),
         )
-        return AllocatedBit(var, val)
+        return bit
 
 
-def field_into_allocated_bits_le(
-    cs: ConstraintSystem, value: Optional[int]
-) -> List[AllocatedBit]:
+def field_into_allocated_bits_le(cs: ConstraintSystem, value) -> List[AllocatedBit]:
     """Allocate the NUM_BITS little-endian bits of a field element
-    (boolean.rs:291; no in-field strictness)."""
+    (boolean.rs:291; no in-field strictness). `value` may be an int, None,
+    or an AllocatedNum-like wrapper (read lazily for tape replay)."""
     num_bits = cs.field.num_bits
+    if value is None or isinstance(value, int):
+        getter = lambda: value  # noqa: E731
+    else:
+        getter = value.get_value
     bits = []
     for i in range(num_bits):
-        b = None if value is None else bool((value >> i) & 1)
+        def b(i=i):
+            v = getter()
+            return None if v is None else bool((v >> i) & 1)
+
         bits.append(AllocatedBit.alloc(cs, b))
     return bits
 
@@ -230,7 +264,9 @@ def sha256_ch(cs: ConstraintSystem, a: Boolean, b: Boolean, c: Boolean) -> Boole
     if b.is_constant() and b.const_val:
         return Boolean.and_(cs, a.not_(), c.not_()).not_()
     # a constant-true falls through like the reference ("just continue")
-    ch = AllocatedBit(cs.alloc(None if ch_value is None else (1 if ch_value else 0)), ch_value)
+    ch = AllocatedBit._alloc_bit(
+        cs, lambda: _bool_ch_value(a.get_value(), b.get_value(), c.get_value())
+    )
     # (b - c) * a = ch - c
     cs.enforce(
         b.lc(ONE, 1) - c.lc(ONE, 1),
@@ -258,7 +294,9 @@ def sha256_maj(cs: ConstraintSystem, a: Boolean, b: Boolean, c: Boolean) -> Bool
         return Boolean.and_(cs, a.not_(), c.not_()).not_()
     if a.is_constant() and a.const_val:
         return Boolean.and_(cs, b.not_(), c.not_()).not_()
-    maj = AllocatedBit(cs.alloc(None if maj_value is None else (1 if maj_value else 0)), maj_value)
+    maj = AllocatedBit._alloc_bit(
+        cs, lambda: _bool_maj_value(a.get_value(), b.get_value(), c.get_value())
+    )
     bc = Boolean.and_(cs, b, c)
     # (2bc - b - c) * a = bc - maj
     cs.enforce(

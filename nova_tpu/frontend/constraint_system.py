@@ -127,8 +127,26 @@ class ConstraintSystem:
     def alloc_input(self, value) -> Variable:
         raise NotImplementedError
 
+    def alloc2(self, value):
+        """Allocate and also return the resolved raw value (var, v).
+        Used by gadget wrappers that retain the value."""
+        v = self._resolve(value)
+        return self.alloc(v if v is not None else value), v
+
+    def alloc_input2(self, value):
+        v = self._resolve(value)
+        return self.alloc_input(v if v is not None else value), v
+
     def enforce(self, a: LinearCombination, b: LinearCombination, c: LinearCombination):
         raise NotImplementedError
+
+    def bind(self, var: Variable, obj) -> None:
+        """Associate a wrapper object with an allocated variable (used by
+        witness tapes to refresh wrapper values on replay). No-op here."""
+
+    def defer(self, thunk) -> None:
+        """Run a side-effect thunk now (witness tapes also replay it)."""
+        thunk()
 
     def is_witness_generator(self) -> bool:
         return False
@@ -163,6 +181,13 @@ class ShapeCS(ConstraintSystem):
         v = ("I", self.num_inputs)
         self.num_inputs += 1
         return v
+
+    # shape collection never evaluates witness closures
+    def alloc2(self, value):
+        return self.alloc(None), None
+
+    def alloc_input2(self, value):
+        return self.alloc_input(None), None
 
     def enforce(self, a, b, c):
         self.constraints.append((a, b, c))

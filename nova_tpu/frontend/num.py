@@ -1,4 +1,8 @@
-"""Number gadgets (reference: src/frontend/gadgets/num.rs)."""
+"""Number gadgets (reference: src/frontend/gadgets/num.rs).
+
+Witness values follow the tape discipline (frontend/tape.py): every
+allocation passes a closure that reads only `.value` of previously
+allocated wrappers, so a recorded tape can replay with fresh inputs."""
 
 from __future__ import annotations
 
@@ -12,6 +16,7 @@ from nova_tpu.frontend.constraint_system import (
     ONE,
     Variable,
 )
+from nova_tpu.frontend import tape as _tape
 
 
 class AllocatedNum:
@@ -37,18 +42,20 @@ class AllocatedNum:
 
     @staticmethod
     def alloc(cs: ConstraintSystem, value) -> "AllocatedNum":
-        v = cs._resolve(value)
-        var = cs.alloc(v)
-        return AllocatedNum(var, v)
+        var, v = cs.alloc2(value)
+        num = AllocatedNum(var, v)
+        cs.bind(var, num)
+        return num
 
     @staticmethod
     def alloc_input(cs: ConstraintSystem, value) -> "AllocatedNum":
-        v = cs._resolve(value)
-        var = cs.alloc_input(v)
-        return AllocatedNum(var, v)
+        var, v = cs.alloc_input2(value)
+        num = AllocatedNum(var, v)
+        cs.bind(var, num)
+        return num
 
     def inputize(self, cs: ConstraintSystem):
-        inp = cs.alloc_input(self.value)
+        inp = cs.alloc_input(lambda: self.value)
         cs.enforce(
             LinearCombination.from_variable(inp),
             LinearCombination.from_variable(ONE),
@@ -57,45 +64,63 @@ class AllocatedNum:
 
     def add(self, cs: ConstraintSystem, other: "AllocatedNum") -> "AllocatedNum":
         p = cs.field.p
-        v = None if self.value is None or other.value is None else (self.value + other.value) % p
-        var = cs.alloc(v)
+
+        def val():
+            if self.value is None or other.value is None:
+                return None
+            return (self.value + other.value) % p
+
+        out = AllocatedNum.alloc(cs, val)
         cs.enforce(
             LinearCombination.from_variable(self.variable) + other.variable,
             LinearCombination.from_variable(ONE),
-            LinearCombination.from_variable(var),
+            LinearCombination.from_variable(out.variable),
         )
-        return AllocatedNum(var, v)
+        return out
 
     def mul(self, cs: ConstraintSystem, other: "AllocatedNum") -> "AllocatedNum":
         p = cs.field.p
-        v = None if self.value is None or other.value is None else self.value * other.value % p
-        var = cs.alloc(v)
+
+        def val():
+            if self.value is None or other.value is None:
+                return None
+            return self.value * other.value % p
+
+        out = AllocatedNum.alloc(cs, val)
         cs.enforce(
             LinearCombination.from_variable(self.variable),
             LinearCombination.from_variable(other.variable),
-            LinearCombination.from_variable(var),
+            LinearCombination.from_variable(out.variable),
         )
-        return AllocatedNum(var, v)
+        return out
 
     def square(self, cs: ConstraintSystem) -> "AllocatedNum":
         p = cs.field.p
-        v = None if self.value is None else self.value * self.value % p
-        var = cs.alloc(v)
+
+        def val():
+            if self.value is None:
+                return None
+            return self.value * self.value % p
+
+        out = AllocatedNum.alloc(cs, val)
         cs.enforce(
             LinearCombination.from_variable(self.variable),
             LinearCombination.from_variable(self.variable),
-            LinearCombination.from_variable(var),
+            LinearCombination.from_variable(out.variable),
         )
-        return AllocatedNum(var, v)
+        return out
 
     def assert_nonzero(self, cs: ConstraintSystem):
-        if self.value is not None:
+        f = cs.field
+
+        def inv_val():
+            if self.value is None:
+                return None
             if self.value == 0:
                 raise NovaError("assert_nonzero on zero")
-            inv_v = cs.field.inv(self.value)
-        else:
-            inv_v = None
-        inv = cs.alloc(inv_v)
+            return f.inv(self.value)
+
+        inv = cs.alloc(inv_val)
         cs.enforce(
             LinearCombination.from_variable(self.variable),
             LinearCombination.from_variable(inv),
@@ -103,7 +128,7 @@ class AllocatedNum:
         )
 
     def to_bits_le(self, cs: ConstraintSystem) -> List[Boolean]:
-        bits = field_into_allocated_bits_le(cs, self.value)
+        bits = field_into_allocated_bits_le(cs, self)
         lc = LinearCombination.zero()
         coeff = 1
         for bit in bits:
@@ -120,12 +145,18 @@ class AllocatedNum:
         all more-significant one-run bits are set."""
         field = cs.field
         num_bits = field.num_bits
-        a_bits_be = (
-            None
-            if self.value is None
-            else [bool((self.value >> i) & 1) for i in range(num_bits)][::-1]
-        )
         b_be = [bool(((field.p - 1) >> i) & 1) for i in range(num_bits)][::-1]
+
+        def a_bit_fn(pos):
+            # big-endian position `pos` == little-endian bit num_bits-1-pos
+            shift = num_bits - 1 - pos
+
+            def fn():
+                if self.value is None:
+                    return None
+                return bool((self.value >> shift) & 1)
+
+            return fn
 
         def kary_and(bits_: List[AllocatedBit]) -> AllocatedBit:
             cur = bits_[0]
@@ -139,13 +170,13 @@ class AllocatedNum:
         found_one = False
         ai = 0
         for b in b_be:
-            a_bit = None if a_bits_be is None else a_bits_be[ai]
+            pos = ai
             ai += 1
             found_one = found_one or b
             if not found_one:
                 continue
             if b:
-                bit = AllocatedBit.alloc(cs, a_bit)
+                bit = AllocatedBit.alloc(cs, a_bit_fn(pos))
                 current_run.append(bit)
                 result.append(bit)
             else:
@@ -154,7 +185,7 @@ class AllocatedNum:
                         current_run.append(last_run)
                     last_run = kary_and(current_run)
                     current_run = []
-                bit = AllocatedBit.alloc_conditionally(cs, a_bit, last_run)
+                bit = AllocatedBit.alloc_conditionally(cs, a_bit_fn(pos), last_run)
                 result.append(bit)
         assert not current_run
 
@@ -169,26 +200,25 @@ class AllocatedNum:
 
     @staticmethod
     def conditionally_reverse(cs, a: "AllocatedNum", b: "AllocatedNum", condition: Boolean):
-        p = cs.field.p
-        cv = condition.get_value()
-
         def val_c():
+            cv = condition.get_value()
             if cv is None or a.value is None or b.value is None:
                 return None
             return b.value if cv else a.value
 
         def val_d():
+            cv = condition.get_value()
             if cv is None or a.value is None or b.value is None:
                 return None
             return a.value if cv else b.value
 
-        c = AllocatedNum.alloc(cs, val_c())
+        c = AllocatedNum.alloc(cs, val_c)
         cs.enforce(
             LinearCombination.from_variable(a.variable) - b.variable,
             condition.lc(ONE, 1),
             LinearCombination.from_variable(a.variable) - c.variable,
         )
-        d = AllocatedNum.alloc(cs, val_d())
+        d = AllocatedNum.alloc(cs, val_d)
         cs.enforce(
             LinearCombination.from_variable(b.variable) - a.variable,
             condition.lc(ONE, 1),
@@ -198,13 +228,22 @@ class AllocatedNum:
 
 
 class Num:
-    """A number as a linear combination (num.rs:495-578)."""
+    """A number as a linear combination (num.rs:495-578). The value may be
+    a plain int or an epoch-memoized Lazy (tape mode)."""
 
-    __slots__ = ("value", "lc")
+    __slots__ = ("_value", "lc")
 
     def __init__(self, value: Optional[int] = 0, lc: Optional[LinearCombination] = None):
-        self.value = value
+        self._value = value
         self.lc = lc if lc is not None else LinearCombination.zero()
+
+    # `.value` resolves lazily so tape replays observe fresh values.
+    @property
+    def value(self):
+        v = self._value
+        if isinstance(v, _tape.Lazy):
+            return v.get()
+        return v
 
     @staticmethod
     def zero() -> "Num":
@@ -212,6 +251,10 @@ class Num:
 
     @staticmethod
     def from_allocated(num: AllocatedNum) -> "Num":
+        if _tape.TRACING:
+            return Num(
+                _tape.Lazy(lambda: num.value), LinearCombination.from_variable(num.variable)
+            )
         return Num(num.value, LinearCombination.from_variable(num.variable))
 
     def get_value(self):
@@ -221,6 +264,15 @@ class Num:
         return LinearCombination.zero().add_lc(self.lc, coeff)
 
     def add_bool_with_coeff(self, one: Variable, bit: Boolean, coeff: int, p: int) -> "Num":
+        if _tape.TRACING:
+
+            def fn():
+                bv = bit.get_value()
+                if self.value is None or bv is None:
+                    return None
+                return (self.value + coeff) % p if bv else self.value
+
+            return Num(_tape.Lazy(fn), self.lc.copy().add_lc(bit.lc(one, coeff)))
         bv = bit.get_value()
         if self.value is None or bv is None:
             newval = None
@@ -229,6 +281,15 @@ class Num:
         return Num(newval, self.lc.copy().add_lc(bit.lc(one, coeff)))
 
     def add(self, other: "Num", p: int) -> "Num":
+        if _tape.TRACING:
+
+            def fn():
+                sv, ov = self.value, other.value
+                if sv is None or ov is None:
+                    return sv if ov is None else ov
+                return (sv + ov) % p
+
+            return Num(_tape.Lazy(fn), self.lc.copy().add_lc(other.lc))
         if self.value is None or other.value is None:
             v = self.value if other.value is None else other.value
         else:
@@ -237,5 +298,10 @@ class Num:
 
     def scale(self, scalar: int, p: int) -> "Num":
         lc = self.lc.copy().scale(scalar)
+        if _tape.TRACING:
+            return Num(
+                _tape.Lazy(lambda: None if self.value is None else self.value * scalar % p),
+                lc,
+            )
         v = None if self.value is None else self.value * scalar % p
         return Num(v, lc)

@@ -4,7 +4,9 @@ port). Used by the augmented circuit to fold public IO defined over the
 *other* curve's field (64-bit limbs × 4, src/constants.rs:10-13).
 
 Values are Python ints (naturals, can exceed the circuit field); limb
-values are field elements; limbs are LinearCombinations."""
+values are field elements; limbs are LinearCombinations. In tape mode
+(frontend/tape.py) all derived naturals are epoch-memoized Lazy cells so
+a recorded witness tape replays with fresh inputs."""
 
 from __future__ import annotations
 
@@ -15,6 +17,8 @@ from nova_tpu.errors import AssignmentMissingError, SynthesisError
 from nova_tpu.frontend.boolean import AllocatedBit
 from nova_tpu.frontend.constraint_system import ConstraintSystem, LinearCombination, ONE
 from nova_tpu.frontend.num import AllocatedNum, Num
+from nova_tpu.frontend import tape as _tape
+from nova_tpu.frontend.tape import Lazy
 from nova_tpu.gadgets.utils import lc_of
 
 
@@ -32,6 +36,10 @@ def limbs_to_nat(limbs: List[int], limb_width: int) -> int:
     return acc
 
 
+def _resolve(v):
+    return v.get() if isinstance(v, Lazy) else v
+
+
 # ---------------------------------------------------------------------------
 # Num helpers (nonnative/util.rs)
 # ---------------------------------------------------------------------------
@@ -39,10 +47,12 @@ def limbs_to_nat(limbs: List[int], limb_width: int) -> int:
 def num_fits_in_bits(cs: ConstraintSystem, num: Num, n_bits: int):
     """Range check (util.rs:97-155): allocate bits 1..n, booleanity for each,
     and a final quadratic constraint forcing num - sum(2^i b_i) in {0,1}."""
-    v = num.get_value()
     bit_vars = []
     for i in range(1, n_bits):
-        bv = None if v is None else (1 if (v >> i) & 1 else 0)
+        def bv(i=i):
+            v = num.get_value()
+            return None if v is None else (1 if (v >> i) & 1 else 0)
+
         bit_vars.append(cs.alloc(bv))
     for var in bit_vars:
         cs.enforce(
@@ -67,10 +77,12 @@ def num_fits_in_bits(cs: ConstraintSystem, num: Num, n_bits: int):
 def num_decompose(cs: ConstraintSystem, num: Num, n_bits: int):
     """Full bit decomposition with booleanity + sum check (util.rs:175-215).
     Returns list of AllocatedBit."""
-    v = num.get_value()
     bits = []
     for i in range(n_bits):
-        bv = None if v is None else bool((v >> i) & 1)
+        def bv(i=i):
+            v = num.get_value()
+            return None if v is None else bool((v >> i) & 1)
+
         bits.append(AllocatedBit.alloc(cs, bv))
     lc = num.to_lc(1)
     f = 1
@@ -95,21 +107,49 @@ def num_is_equal_to_bits(cs: ConstraintSystem, num: Num, bits: List[AllocatedBit
 # ---------------------------------------------------------------------------
 
 class BigNat:
-    __slots__ = ("limbs", "limb_values", "value", "limb_width", "n_limbs", "max_word", "min_bits")
+    __slots__ = ("limbs", "_limb_values", "_value", "limb_width", "n_limbs", "max_word", "min_bits")
 
     def __init__(self, limbs, limb_values, value, limb_width, n_limbs, max_word, min_bits=0):
         self.limbs = limbs  # List[LinearCombination]
-        self.limb_values = limb_values  # Optional[List[int]] (field elems)
-        self.value = value  # Optional[int] natural
+        self._limb_values = limb_values  # Optional[List[int]] | Lazy (field elems)
+        self._value = value  # Optional[int] | Lazy (natural)
         self.limb_width = limb_width
         self.n_limbs = n_limbs
         self.max_word = max_word
         self.min_bits = min_bits
 
+    @property
+    def limb_values(self):
+        return _resolve(self._limb_values)
+
+    @property
+    def value(self):
+        return _resolve(self._value)
+
     # --- allocation ---
 
     @staticmethod
-    def alloc_from_nat(cs: ConstraintSystem, value: Optional[int], limb_width: int, n_limbs: int):
+    def alloc_from_nat(cs: ConstraintSystem, value, limb_width: int, n_limbs: int):
+        """`value` may be an int/None (step-independent) or a closure/Lazy
+        (re-read on tape replay)."""
+        if callable(value) or isinstance(value, Lazy):
+            vfn = value.get if isinstance(value, Lazy) else value
+            val_l = Lazy(vfn)
+            lvs_l = Lazy(
+                lambda: None
+                if val_l.get() is None
+                else nat_to_limbs(val_l.get(), limb_width, n_limbs)
+            )
+            limbs = []
+            for i in range(n_limbs):
+                def lv(i=i):
+                    ls = lvs_l.get()
+                    return None if ls is None else ls[i]
+
+                limbs.append(LinearCombination.from_variable(cs.alloc(lv)))
+            return BigNat(
+                limbs, lvs_l, val_l, limb_width, n_limbs, (1 << limb_width) - 1
+            )
         if value is not None:
             lvs = nat_to_limbs(value, limb_width, n_limbs)
         else:
@@ -152,8 +192,8 @@ class BigNat:
     def from_num(cs: ConstraintSystem, n: Num, limb_width: int, n_limbs: int) -> "BigNat":
         """Allocate from an in-field number and bind via bit decomposition
         (bignat.rs:224-251)."""
-        value = n.get_value()
-        bn = BigNat.alloc_from_nat(cs, value, limb_width, n_limbs)
+        bn = BigNat.alloc_from_nat(cs, n.get_value if _tape.TRACING else n.get_value(),
+                                   limb_width, n_limbs)
         bits = bn.decompose(cs)
         num_is_equal_to_bits(cs, n, bits)
         return bn
@@ -161,6 +201,15 @@ class BigNat:
     # --- helpers ---
 
     def as_limbs(self) -> List[Num]:
+        if _tape.TRACING:
+            def lv(i):
+                def fn():
+                    ls = self.limb_values
+                    return None if ls is None else ls[i]
+
+                return Lazy(fn)
+
+            return [Num(lv(i), self.limbs[i].copy()) for i in range(self.n_limbs)]
         return [
             Num(None if self.limb_values is None else self.limb_values[i], self.limbs[i].copy())
             for i in range(self.n_limbs)
@@ -183,15 +232,21 @@ class BigNat:
     def group_limbs(self, limbs_per_group: int) -> "BigNat":
         n_groups = (self.n_limbs - 1) // limbs_per_group + 1
         limb_block = 1 << self.limb_width
-        new_values = None
-        if self.limb_values is not None:
+
+        def compute_values():
+            lvs = self.limb_values
+            if lvs is None:
+                return None
             new_values = [0] * n_groups
             shift = 1
-            for i, v in enumerate(self.limb_values):
+            for i, v in enumerate(lvs):
                 if i % limbs_per_group == 0:
                     shift = 1
                 new_values[i // limbs_per_group] += shift * v
                 shift *= limb_block
+            return new_values
+
+        new_values = Lazy(compute_values) if _tape.TRACING else compute_values()
         new_limbs = [LinearCombination.zero() for _ in range(n_groups)]
         shift = 1
         for i, limb in enumerate(self.limbs):
@@ -204,7 +259,7 @@ class BigNat:
             max_word |= 1 << (i * self.limb_width)
         max_word *= self.max_word
         return BigNat(
-            new_limbs, new_values, self.value,
+            new_limbs, new_values, self._value,
             self.limb_width * limbs_per_group, n_groups, max_word, self.min_bits,
         )
 
@@ -227,15 +282,21 @@ class BigNat:
 
         for i in range(n):
             def carry_val(i=i, carry_in=carry_in):
-                if self.limb_values is None or other.limb_values is None or carry_in.get_value() is None:
+                slv, olv = self.limb_values, other.limb_values
+                civ = carry_in.get_value()
+                if slv is None or olv is None or civ is None:
                     return None
-                return (
-                    self.limb_values[i] + carry_in.get_value() + max_word - other.limb_values[i]
-                ) // target_base
+                return (slv[i] + civ + max_word - olv[i]) // target_base
 
-            cv = carry_val()
-            carry_var = cs.alloc(None if cv is None else cv % p)
-            carry = Num(cv, LinearCombination.from_variable(carry_var))
+            cf = Lazy(carry_val)
+
+            def carry_mod(cf=cf):
+                cv = cf.get()
+                return None if cv is None else cv % p
+
+            carry_var = cs.alloc(carry_mod if _tape.TRACING else carry_mod())
+            carry = Num(cf if _tape.TRACING else cf.get(),
+                        LinearCombination.from_variable(carry_var))
             accumulated_extra += max_word
 
             lc = carry_in.to_lc(1)
@@ -285,16 +346,26 @@ class BigNat:
             if i < len(other.limbs):
                 lc.add_lc(other.limbs[i])
             limbs.append(lc)
-        limb_values = None
-        if self.limb_values is not None and other.limb_values is not None:
-            limb_values = [
-                (self.limb_values[i] if i < len(self.limb_values) else 0)
-                + (other.limb_values[i] if i < len(other.limb_values) else 0)
+
+        def compute_limb_values():
+            slv, olv = self.limb_values, other.limb_values
+            if slv is None or olv is None:
+                return None
+            return [
+                (slv[i] if i < len(slv) else 0) + (olv[i] if i < len(olv) else 0)
                 for i in range(n_limbs)
             ]
-        value = None
-        if self.value is not None and other.value is not None:
-            value = self.value + other.value
+
+        def compute_value():
+            sv, ov = self.value, other.value
+            if sv is None or ov is None:
+                return None
+            return sv + ov
+
+        if _tape.TRACING:
+            limb_values, value = Lazy(compute_limb_values), Lazy(compute_value)
+        else:
+            limb_values, value = compute_limb_values(), compute_value()
         return BigNat(
             limbs, limb_values, value, self.limb_width, n_limbs, max_word,
             max(self.min_bits, other.min_bits),
@@ -307,13 +378,31 @@ class BigNat:
         limb_width = self.limb_width
         quotient_bits = max(0, self.n_bits() + other.n_bits() - modulus.min_bits)
         quotient_limbs = max(0, quotient_bits - 1) // limb_width + 1
-        qv = rv = None
-        if self.value is not None and other.value is not None and modulus.value is not None:
-            prod = self.value * other.value
-            qv, rv = divmod(prod, modulus.value)
-        quotient = BigNat.alloc_from_nat(cs, qv, limb_width, quotient_limbs)
+
+        def compute_qr():
+            sv, ov, mv = self.value, other.value, modulus.value
+            if sv is None or ov is None or mv is None:
+                return None
+            return divmod(sv * ov, mv)
+
+        qr = Lazy(compute_qr)
+
+        def qv():
+            v = qr.get()
+            return None if v is None else v[0]
+
+        def rv():
+            v = qr.get()
+            return None if v is None else v[1]
+
+        if not _tape.TRACING:
+            q0, r0 = (qr.get() or (None, None))
+            quotient = BigNat.alloc_from_nat(cs, q0, limb_width, quotient_limbs)
+            remainder = BigNat.alloc_from_nat(cs, r0, limb_width, modulus.n_limbs)
+        else:
+            quotient = BigNat.alloc_from_nat(cs, qv, limb_width, quotient_limbs)
+            remainder = BigNat.alloc_from_nat(cs, rv, limb_width, modulus.n_limbs)
         quotient.assert_well_formed(cs)
-        remainder = BigNat.alloc_from_nat(cs, rv, limb_width, modulus.n_limbs)
         remainder.assert_well_formed(cs)
 
         left = _poly_alloc_product(cs, self, other)
@@ -336,12 +425,31 @@ class BigNat:
         limb_width = self.limb_width
         quotient_bits = max(0, self.n_bits() - modulus.min_bits)
         quotient_limbs = max(0, quotient_bits - 1) // limb_width + 1
-        qv = rv = None
-        if self.value is not None and modulus.value is not None:
-            qv, rv = divmod(self.value, modulus.value)
-        quotient = BigNat.alloc_from_nat(cs, qv, limb_width, quotient_limbs)
+
+        def compute_qr():
+            sv, mv = self.value, modulus.value
+            if sv is None or mv is None:
+                return None
+            return divmod(sv, mv)
+
+        qr = Lazy(compute_qr)
+
+        def qv():
+            v = qr.get()
+            return None if v is None else v[0]
+
+        def rv():
+            v = qr.get()
+            return None if v is None else v[1]
+
+        if not _tape.TRACING:
+            q0, r0 = (qr.get() or (None, None))
+            quotient = BigNat.alloc_from_nat(cs, q0, limb_width, quotient_limbs)
+            remainder = BigNat.alloc_from_nat(cs, r0, limb_width, modulus.n_limbs)
+        else:
+            quotient = BigNat.alloc_from_nat(cs, qv, limb_width, quotient_limbs)
+            remainder = BigNat.alloc_from_nat(cs, rv, limb_width, modulus.n_limbs)
         quotient.assert_well_formed(cs)
-        remainder = BigNat.alloc_from_nat(cs, rv, limb_width, modulus.n_limbs)
         remainder.assert_well_formed(cs)
 
         right_product = _poly_alloc_product(cs, quotient, modulus)
@@ -356,10 +464,16 @@ class BigNat:
 
     def sub_mod(self, cs: ConstraintSystem, other: "BigNat", modulus: "BigNat") -> "BigNat":
         """self - other mod m (bignat.rs:782-806)."""
-        dv = None
-        if self.value is not None and other.value is not None and modulus.value is not None:
-            dv = (self.value + modulus.value - other.value) % modulus.value
-        diff = BigNat.alloc_from_nat(cs, dv, self.limb_width, self.n_limbs)
+
+        def dv():
+            sv, ov, mv = self.value, other.value, modulus.value
+            if sv is None or ov is None or mv is None:
+                return None
+            return (sv + mv - ov) % mv
+
+        diff = BigNat.alloc_from_nat(
+            cs, dv if _tape.TRACING else dv(), self.limb_width, self.n_limbs
+        )
         summed = other.add(diff).red_mod(cs, modulus)
         self.equal_when_carried_regroup(cs, summed)
         return diff
@@ -375,10 +489,12 @@ class BigNat:
         (bignat.rs:724-779)."""
         out = []
         for i in range(self.n_limbs):
-            lv = None if self.limb_values is None else self.limb_values[i]
             bits = []
             for j in range(self.limb_width):
-                bv = None if lv is None else bool((lv >> j) & 1)
+                def bv(i=i, j=j):
+                    lvs = self.limb_values
+                    return None if lvs is None else bool((lvs[i] >> j) & 1)
+
                 bits.append(AllocatedBit.alloc(cs, bv))
             packed = LinearCombination.zero()
             coeff = 1
@@ -391,7 +507,10 @@ class BigNat:
 
     def inputize(self, cs: ConstraintSystem):
         for i, l in enumerate(self.limbs):
-            lv = None if self.limb_values is None else self.limb_values[i]
+            def lv(i=i):
+                lvs = self.limb_values
+                return None if lvs is None else lvs[i]
+
             v = cs.alloc_input(lv)
             cs.enforce(
                 LinearCombination.zero(),
@@ -401,10 +520,14 @@ class BigNat:
 
     def as_allocated_nums(self, cs: ConstraintSystem) -> List[AllocatedNum]:
         """Materialize each limb as an AllocatedNum (for RO absorption)."""
+        p = cs.field.p
         out = []
         for num in self.as_limbs():
-            v = num.get_value()
-            a = AllocatedNum.alloc(cs, None if v is None else v % cs.field.p)
+            def val(num=num):
+                v = num.get_value()
+                return None if v is None else v % p
+
+            a = AllocatedNum.alloc(cs, val)
             cs.enforce(
                 LinearCombination.zero(),
                 LinearCombination.zero(),
@@ -417,9 +540,16 @@ class BigNat:
 def conditionally_select_bignat(cs: ConstraintSystem, a: BigNat, b: BigNat, condition) -> "BigNat":
     """cond ? a : b (gadgets/utils.rs:230-261)."""
     assert len(a.limbs) == len(b.limbs)
-    cv = condition.get_value()
-    value = None if cv is None else (a.value if cv else b.value)
-    c = BigNat.alloc_from_nat(cs, value, a.limb_width, a.n_limbs)
+
+    def val():
+        cv = condition.get_value()
+        if cv is None:
+            return None
+        return a.value if cv else b.value
+
+    c = BigNat.alloc_from_nat(
+        cs, val if _tape.TRACING else val(), a.limb_width, a.n_limbs
+    )
     for i in range(len(c.limbs)):
         cs.enforce(
             a.limbs[i].copy().add_lc(b.limbs[i], -1),
@@ -434,16 +564,39 @@ def _poly_alloc_product(cs: ConstraintSystem, a: BigNat, b: BigNat):
     (bignat.rs:819-882). Returns (limb LCs, limb values, value)."""
     p = cs.field.p
     n = len(a.limbs) + len(b.limbs) - 1
-    values = None
-    if a.limb_values is not None and b.limb_values is not None:
+
+    def compute_values():
+        alv, blv = a.limb_values, b.limb_values
+        if alv is None or blv is None:
+            return None
         values = [0] * n
-        for i, av in enumerate(a.limb_values):
-            for j, bv in enumerate(b.limb_values):
+        for i, av in enumerate(alv):
+            for j, bv in enumerate(blv):
                 values[i + j] = (values[i + j] + av * bv) % p
+        return values
+
+    def compute_value():
+        av, bv = a.value, b.value
+        if av is None or bv is None:
+            return None
+        return av * bv
+
     coeffs = []
-    for i in range(n):
-        var = cs.alloc(None if values is None else values[i])
-        coeffs.append(LinearCombination.from_variable(var))
+    if _tape.TRACING:
+        values = Lazy(compute_values)
+        for i in range(n):
+            def vi(i=i):
+                vs = values.get()
+                return None if vs is None else vs[i]
+
+            coeffs.append(LinearCombination.from_variable(cs.alloc(vi)))
+        value = Lazy(compute_value)
+    else:
+        values = compute_values()
+        for i in range(n):
+            var = cs.alloc(None if values is None else values[i])
+            coeffs.append(LinearCombination.from_variable(var))
+        value = compute_value()
     # pointwise checks at x = 1..n
     for xi in range(1, n + 1):
         def eval_lc(lcs):
@@ -455,21 +608,14 @@ def _poly_alloc_product(cs: ConstraintSystem, a: BigNat, b: BigNat):
             return acc
 
         cs.enforce(eval_lc(a.limbs), eval_lc(b.limbs), eval_lc(coeffs))
-    value = None
-    if a.value is not None and b.value is not None:
-        value = a.value * b.value
     return coeffs, values, value
 
 
 def _poly_sum(cs: ConstraintSystem, prod, c: BigNat):
     """Sum of polynomial product output and a BigNat (coefficient-wise)."""
-    p = cs.field.p
     coeffs_a, values_a, value_a = prod
     n = max(len(coeffs_a), len(c.limbs))
     coeffs = []
-    values = None
-    if values_a is not None and c.limb_values is not None:
-        values = []
     for i in range(n):
         lc = LinearCombination.zero()
         if i < len(coeffs_a):
@@ -477,12 +623,22 @@ def _poly_sum(cs: ConstraintSystem, prod, c: BigNat):
         if i < len(c.limbs):
             lc.add_lc(c.limbs[i])
         coeffs.append(lc)
-        if values is not None:
-            v = (values_a[i] if i < len(values_a) else 0) + (
-                c.limb_values[i] if i < len(c.limb_values) else 0
-            )
-            values.append(v)
-    value = None
-    if value_a is not None and c.value is not None:
-        value = value_a + c.value
-    return coeffs, values, value
+
+    def compute_values():
+        va, clv = _resolve(values_a), c.limb_values
+        if va is None or clv is None:
+            return None
+        return [
+            (va[i] if i < len(va) else 0) + (clv[i] if i < len(clv) else 0)
+            for i in range(n)
+        ]
+
+    def compute_value():
+        va, cv = _resolve(value_a), c.value
+        if va is None or cv is None:
+            return None
+        return va + cv
+
+    if _tape.TRACING:
+        return coeffs, Lazy(compute_values), Lazy(compute_value)
+    return coeffs, compute_values(), compute_value()

@@ -45,10 +45,15 @@ class AllocatedPoint:
         self.is_infinity = is_infinity
 
     @staticmethod
-    def alloc(cs: ConstraintSystem, curve: CurveSpec, coords: Optional[Tuple[int, int, bool]]):
-        x = AllocatedNum.alloc(cs, 0 if coords is None else coords[0])
-        y = AllocatedNum.alloc(cs, 0 if coords is None else coords[1])
-        is_inf = AllocatedNum.alloc(cs, 1 if (coords is None or coords[2]) else 0)
+    def alloc(cs: ConstraintSystem, curve: CurveSpec, coords):
+        """`coords` is an (x, y, is_infinity) tuple, None, or a closure
+        returning either (tape mode re-reads it on every replay)."""
+        cfn = coords if callable(coords) else (lambda: coords)
+        x = AllocatedNum.alloc(cs, lambda: (lambda c: 0 if c is None else c[0])(cfn()))
+        y = AllocatedNum.alloc(cs, lambda: (lambda c: 0 if c is None else c[1])(cfn()))
+        is_inf = AllocatedNum.alloc(
+            cs, lambda: (lambda c: 1 if (c is None or c[2]) else 0)(cfn())
+        )
         cs.enforce(
             lc_of(is_inf.get_variable()),
             lc_of(ONE) - is_inf.get_variable(),
@@ -78,7 +83,7 @@ class AllocatedPoint:
                 return 0
             return (x_cu.get_value() + A * self.x.get_value() + B) % f.p
 
-        rhs = AllocatedNum.alloc(cs, rhs_val())
+        rhs = AllocatedNum.alloc(cs, rhs_val)
         cs.enforce(
             lc_of(x_cu.get_variable()) + (A, self.x.get_variable()) + (B, ONE),
             lc_of(ONE) - self.is_infinity.get_variable(),
@@ -98,7 +103,10 @@ class AllocatedPoint:
 
     def negate(self, cs: ConstraintSystem) -> "AllocatedPoint":
         f = cs.field
-        yv = None if self.y.get_value() is None else f.neg(self.y.get_value())
+
+        def yv():
+            return None if self.y.get_value() is None else f.neg(self.y.get_value())
+
         y = AllocatedNum.alloc(cs, yv)
         cs.enforce(
             lc_of(self.y.get_variable()),
@@ -125,7 +133,7 @@ class AllocatedPoint:
             ex = 1 if equal_x.get_value() else 0
             return ex * (1 - at_least_one_inf.get_value()) % f.p
 
-        use_equal_x = AllocatedNum.alloc(cs, ue_val())
+        use_equal_x = AllocatedNum.alloc(cs, ue_val)
         cs.enforce(
             lc_of(equal_x.get_variable()),
             lc_of(ONE) - at_least_one_inf.get_variable(),
@@ -147,7 +155,7 @@ class AllocatedPoint:
                 return None
             return (1 - (1 - a) * (1 - b)) % f.p
 
-        at_least_one_inf = AllocatedNum.alloc(cs, inf_or())
+        at_least_one_inf = AllocatedNum.alloc(cs, inf_or)
         cs.enforce(
             lc_of(ONE) - self.is_infinity.get_variable(),
             lc_of(ONE) - other.is_infinity.get_variable(),
@@ -159,7 +167,7 @@ class AllocatedPoint:
                 return None
             return 1 if equal_x.get_value() else at_least_one_inf.get_value()
 
-        x_diff_is_actual = AllocatedNum.alloc(cs, xdia_val())
+        x_diff_is_actual = AllocatedNum.alloc(cs, xdia_val)
         cs.enforce(
             lc_of(ONE) - at_least_one_inf.get_variable(),
             lc_of(ONE) - equal_x.get_variable(),
@@ -183,7 +191,7 @@ class AllocatedPoint:
                 inv = f.inv(f.sub(other.x.get_value(), self.x.get_value()))
             return f.mul(f.sub(other.y.get_value(), self.y.get_value()), inv)
 
-        lam = AllocatedNum.alloc(cs, lambda_val())
+        lam = AllocatedNum.alloc(cs, lambda_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(x_diff.get_variable()),
@@ -195,7 +203,7 @@ class AllocatedPoint:
                 return None
             return (lam.get_value() ** 2 - self.x.get_value() - other.x.get_value()) % f.p
 
-        x = AllocatedNum.alloc(cs, x_val())
+        x = AllocatedNum.alloc(cs, x_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(lam.get_variable()),
@@ -207,7 +215,7 @@ class AllocatedPoint:
                 return None
             return (lam.get_value() * (self.x.get_value() - x.get_value()) - self.y.get_value()) % f.p
 
-        y = AllocatedNum.alloc(cs, y_val())
+        y = AllocatedNum.alloc(cs, y_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(self.x.get_variable()) - x.get_variable(),
@@ -226,12 +234,16 @@ class AllocatedPoint:
         """Tangent law, complete via selects (ecc.rs:392-491). a = 0."""
         f = cs.field
 
-        def d(fn, *vals):
-            if any(v is None for v in vals):
-                return None
-            return fn(*vals) % f.p
+        def d(fn, *getters):
+            def val():
+                vals = [g() for g in getters]
+                if any(v is None for v in vals):
+                    return None
+                return fn(*vals) % f.p
 
-        tmp_actual = AllocatedNum.alloc(cs, d(lambda y: 2 * y, self.y.get_value()))
+            return val
+
+        tmp_actual = AllocatedNum.alloc(cs, d(lambda y: 2 * y, self.y.get_value))
         cs.enforce(
             lc_of(ONE) + ONE,
             lc_of(self.y.get_variable()),
@@ -239,7 +251,7 @@ class AllocatedPoint:
         )
         tmp = select_one_or_num2(cs, tmp_actual, self.is_infinity)
 
-        prod_1 = AllocatedNum.alloc(cs, d(lambda x: 3 * x * x, self.x.get_value()))
+        prod_1 = AllocatedNum.alloc(cs, d(lambda x: 3 * x * x, self.x.get_value))
         cs.enforce(
             LinearCombination.zero() + (3, self.x.get_variable()),
             lc_of(self.x.get_variable()),
@@ -252,7 +264,7 @@ class AllocatedPoint:
             inv = 1 if self.is_infinity.get_value() == 1 else f.inv(tmp.get_value())
             return f.mul(inv, prod_1.get_value())  # a = 0
 
-        lam = AllocatedNum.alloc(cs, lam_val())
+        lam = AllocatedNum.alloc(cs, lam_val)
         cs.enforce(
             lc_of(tmp.get_variable()),
             lc_of(lam.get_variable()),
@@ -260,7 +272,7 @@ class AllocatedPoint:
         )
 
         x = AllocatedNum.alloc(
-            cs, d(lambda l, xx: l * l - 2 * xx, lam.get_value(), self.x.get_value())
+            cs, d(lambda l, xx: l * l - 2 * xx, lam.get_value, self.x.get_value)
         )
         cs.enforce(
             lc_of(lam.get_variable()),
@@ -271,10 +283,10 @@ class AllocatedPoint:
             cs,
             d(
                 lambda l, sx, xx, sy: l * (sx - xx) - sy,
-                lam.get_value(),
-                self.x.get_value(),
-                x.get_value(),
-                self.y.get_value(),
+                lam.get_value,
+                self.x.get_value,
+                x.get_value,
+                self.y.get_value,
             ),
         )
         cs.enforce(
@@ -393,7 +405,7 @@ class AllocatedPointNonInfinity:
                 f.inv(f.sub(other.x.get_value(), self.x.get_value())),
             )
 
-        lam = AllocatedNum.alloc(cs, lam_val())
+        lam = AllocatedNum.alloc(cs, lam_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(other.x.get_variable()) - self.x.get_variable(),
@@ -405,7 +417,7 @@ class AllocatedPointNonInfinity:
                 return None
             return (lam.get_value() ** 2 - self.x.get_value() - other.x.get_value()) % f.p
 
-        x = AllocatedNum.alloc(cs, x_val())
+        x = AllocatedNum.alloc(cs, x_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(lam.get_variable()),
@@ -417,7 +429,7 @@ class AllocatedPointNonInfinity:
                 return None
             return (lam.get_value() * (self.x.get_value() - x.get_value()) - self.y.get_value()) % f.p
 
-        y = AllocatedNum.alloc(cs, y_val())
+        y = AllocatedNum.alloc(cs, y_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(self.x.get_variable()) - x.get_variable(),
@@ -438,7 +450,7 @@ class AllocatedPointNonInfinity:
                 return 1
             return f.mul(n, f.inv(d))
 
-        lam = AllocatedNum.alloc(cs, lam_val())
+        lam = AllocatedNum.alloc(cs, lam_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             LinearCombination.zero() + (2, self.y.get_variable()),
@@ -450,7 +462,7 @@ class AllocatedPointNonInfinity:
                 return None
             return (lam.get_value() ** 2 - 2 * self.x.get_value()) % f.p
 
-        x = AllocatedNum.alloc(cs, x_val())
+        x = AllocatedNum.alloc(cs, x_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(lam.get_variable()),
@@ -462,7 +474,7 @@ class AllocatedPointNonInfinity:
                 return None
             return (lam.get_value() * (self.x.get_value() - x.get_value()) - self.y.get_value()) % f.p
 
-        y = AllocatedNum.alloc(cs, y_val())
+        y = AllocatedNum.alloc(cs, y_val)
         cs.enforce(
             lc_of(lam.get_variable()),
             lc_of(self.x.get_variable()) - x.get_variable(),

@@ -17,6 +17,7 @@ from typing import List, Optional
 from nova_tpu.errors import AssignmentMissingError
 from nova_tpu.frontend.constraint_system import ConstraintSystem, LinearCombination, ONE
 from nova_tpu.frontend.num import AllocatedNum, Num
+from nova_tpu.frontend import tape as _tape
 from nova_tpu.provider.poseidon import (
     PoseidonConstants,
     PoseidonROConstants,
@@ -65,6 +66,8 @@ class Elt:
 
     def to_num(self) -> Num:
         if Elt.VALUE_ONLY:
+            if _tape.TRACING:
+                return Num(_tape.Lazy(self.val), LinearCombination.zero())
             v = (
                 self.allocated.get_value()
                 if self.allocated is not None
@@ -85,15 +88,18 @@ class Elt:
         if self.allocated is not None:
             return self.allocated.square(cs)
         p = cs.field.p
-        v = self.num.get_value()
-        sq = None if v is None else v * v % p
+
+        def sq():
+            v = self.num.get_value()
+            return None if v is None else v * v % p
+
         out = AllocatedNum.alloc(cs, sq)
         cs.enforce(self.num.to_lc(1), self.num.to_lc(1),
                    LinearCombination.from_variable(out.get_variable()))
         return out
 
     def ensure_allocated(self, cs: ConstraintSystem) -> AllocatedNum:
-        v = AllocatedNum.alloc(cs, self.val())
+        v = AllocatedNum.alloc(cs, self.val)
         cs.enforce(
             self.lc(),
             LinearCombination.from_variable(ONE),
@@ -105,17 +111,19 @@ class Elt:
 def _mul_sum(cs, a: AllocatedNum, b: Elt, pre_add, post_add) -> AllocatedNum:
     """(a * (pre_add + b)) + post_add, one constraint (circuit2.rs:503-562)."""
     p = cs.field.p
-    bv = b.val()
-    if bv is None or a.get_value() is None:
-        v = None
-    else:
+
+    def v():
+        bv = b.val()
+        if bv is None or a.get_value() is None:
+            return None
         tmp = bv
         if pre_add is not None:
             tmp = (tmp + pre_add) % p
         tmp = tmp * a.get_value() % p
         if post_add is not None:
             tmp = (tmp + post_add) % p
-        v = tmp
+        return tmp
+
     res = AllocatedNum.alloc(cs, v)
     blc = b.lc()
     if pre_add is not None:
@@ -129,8 +137,11 @@ def _mul_sum(cs, a: AllocatedNum, b: Elt, pre_add, post_add) -> AllocatedNum:
 
 def _square_sum(cs, to_add: int, elt: Elt) -> AllocatedNum:
     p = cs.field.p
-    v = elt.val()
-    sq = None if v is None else (v + to_add) * (v + to_add) % p
+
+    def sq():
+        v = elt.val()
+        return None if v is None else (v + to_add) * (v + to_add) % p
+
     res = AllocatedNum.alloc(cs, sq)
     lc_ = elt.lc() + (to_add, ONE)
     cs.enforce(lc_, lc_, LinearCombination.from_variable(res.get_variable()))
@@ -254,6 +265,14 @@ class PoseidonCircuit:
         p = cs.field.p
         if Elt.VALUE_ONLY:
             # witness fast path: plain integer dot product, one Elt out
+            if _tape.TRACING:
+                def acc_fn():
+                    acc = 0
+                    for e, s in zip(elts, scalars):
+                        acc += e.val() * s
+                    return acc % p
+
+                return Elt(num=Num(_tape.Lazy(acc_fn), LinearCombination.zero()))
             acc_v = 0
             for e, s in zip(elts, scalars):
                 acc_v += e.val() * s

@@ -41,12 +41,18 @@ def alloc_constant(cs: ConstraintSystem, c: int) -> AllocatedNum:
     return const
 
 
-def alloc_scalar_as_base(cs: ConstraintSystem, scalar_value: Optional[int]) -> AllocatedNum:
+def alloc_scalar_as_base(cs: ConstraintSystem, scalar_value) -> AllocatedNum:
     """Allocate a scalar-field value in a base-field circuit (bit-copy;
     utils.rs:56-78). None defaults to zero (unwrap_or(ZERO) in the
-    reference), so optional base-case inputs still synthesize witnesses."""
-    v = 0 if scalar_value is None else scalar_value % cs.field.p
-    return AllocatedNum.alloc(cs, v)
+    reference), so optional base-case inputs still synthesize witnesses.
+    Accepts an int/None or a closure (tape mode)."""
+    p = cs.field.p
+
+    def val():
+        v = scalar_value() if callable(scalar_value) else scalar_value
+        return 0 if v is None else v % p
+
+    return AllocatedNum.alloc(cs, val)
 
 
 def scalar_as_base(engine, x: int) -> int:
@@ -62,16 +68,23 @@ def le_bits_to_num(cs: ConstraintSystem, bits: List[AllocatedBit]) -> AllocatedN
     p = cs.field.p
     lc = LinearCombination.zero()
     coeff = 1
-    fe = 0
-    missing = False
     for bit in bits:
         lc.add_term(coeff, bit.get_variable())
-        if bit.get_value() is None:
-            missing = True
-        elif bit.get_value():
-            fe = (fe + coeff) % p
         coeff <<= 1
-    num = AllocatedNum.alloc(cs, None if missing else fe)
+
+    def val():
+        fe = 0
+        c = 1
+        for bit in bits:
+            bv = bit.get_value()
+            if bv is None:
+                return None
+            if bv:
+                fe = (fe + c) % p
+            c <<= 1
+        return fe
+
+    num = AllocatedNum.alloc(cs, val)
     lc = lc - num.get_variable()
     cs.enforce(LinearCombination.zero(), LinearCombination.zero(), lc)
     return num
@@ -80,8 +93,9 @@ def le_bits_to_num(cs: ConstraintSystem, bits: List[AllocatedBit]) -> AllocatedN
 def alloc_num_equals(cs: ConstraintSystem, a: AllocatedNum, b: AllocatedNum) -> AllocatedBit:
     """Equality bit (utils.rs:143-184)."""
     f = cs.field
-    r_val = _maybe(lambda x, y: x == y, a.get_value(), b.get_value())
-    r = AllocatedBit.alloc(cs, r_val)
+    r = AllocatedBit.alloc(
+        cs, lambda: _maybe(lambda x, y: x == y, a.get_value(), b.get_value())
+    )
 
     def t_val():
         if a.get_value() is None or b.get_value() is None:
@@ -90,7 +104,7 @@ def alloc_num_equals(cs: ConstraintSystem, a: AllocatedNum, b: AllocatedNum) -> 
             return 1
         return f.inv(f.sub(a.get_value(), b.get_value()))
 
-    t = AllocatedNum.alloc(cs, t_val())
+    t = AllocatedNum.alloc(cs, t_val)
     cs.enforce(
         lc_of(t.get_variable()),
         lc_of(a.get_variable()) - b.get_variable(),
@@ -105,8 +119,10 @@ def alloc_num_equals(cs: ConstraintSystem, a: AllocatedNum, b: AllocatedNum) -> 
 
 
 def conditionally_select(cs, a: AllocatedNum, b: AllocatedNum, condition: Boolean) -> AllocatedNum:
-    cv = condition.get_value()
-    val = None if cv is None else (a.get_value() if cv else b.get_value())
+    def val():
+        cv = condition.get_value()
+        return None if cv is None else (a.get_value() if cv else b.get_value())
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(
         lc_of(a.get_variable()) - b.get_variable(),
@@ -121,8 +137,10 @@ def conditionally_select_vec(cs, a, b, condition):
 
 
 def conditionally_select2(cs, a: AllocatedNum, b: AllocatedNum, condition: AllocatedNum) -> AllocatedNum:
-    cv = condition.get_value()
-    val = None if cv is None else (a.get_value() if cv == 1 else b.get_value())
+    def val():
+        cv = condition.get_value()
+        return None if cv is None else (a.get_value() if cv == 1 else b.get_value())
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(
         lc_of(a.get_variable()) - b.get_variable(),
@@ -133,8 +151,10 @@ def conditionally_select2(cs, a: AllocatedNum, b: AllocatedNum, condition: Alloc
 
 
 def select_zero_or_num2(cs, a: AllocatedNum, condition: AllocatedNum) -> AllocatedNum:
-    cv = condition.get_value()
-    val = None if cv is None else (0 if cv == 1 else a.get_value())
+    def val():
+        cv = condition.get_value()
+        return None if cv is None else (0 if cv == 1 else a.get_value())
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(
         lc_of(a.get_variable()),
@@ -145,8 +165,10 @@ def select_zero_or_num2(cs, a: AllocatedNum, condition: AllocatedNum) -> Allocat
 
 
 def select_num_or_zero2(cs, a: AllocatedNum, condition: AllocatedNum) -> AllocatedNum:
-    cv = condition.get_value()
-    val = None if cv is None else (a.get_value() if cv == 1 else 0)
+    def val():
+        cv = condition.get_value()
+        return None if cv is None else (a.get_value() if cv == 1 else 0)
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(
         lc_of(a.get_variable()),
@@ -157,16 +179,20 @@ def select_num_or_zero2(cs, a: AllocatedNum, condition: AllocatedNum) -> Allocat
 
 
 def select_num_or_zero(cs, a: AllocatedNum, condition: Boolean) -> AllocatedNum:
-    cv = condition.get_value()
-    val = None if cv is None else (a.get_value() if cv else 0)
+    def val():
+        cv = condition.get_value()
+        return None if cv is None else (a.get_value() if cv else 0)
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(lc_of(a.get_variable()), condition.lc(ONE, 1), lc_of(c.get_variable()))
     return c
 
 
 def select_one_or_num2(cs, a: AllocatedNum, condition: AllocatedNum) -> AllocatedNum:
-    cv = condition.get_value()
-    val = None if cv is None else (1 if cv == 1 else a.get_value())
+    def val():
+        cv = condition.get_value()
+        return None if cv is None else (1 if cv == 1 else a.get_value())
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(
         lc_of(ONE) - a.get_variable(),
@@ -178,12 +204,13 @@ def select_one_or_num2(cs, a: AllocatedNum, condition: AllocatedNum) -> Allocate
 
 def select_one_or_diff2(cs, a: AllocatedNum, b: AllocatedNum, condition: AllocatedNum) -> AllocatedNum:
     f = cs.field
-    cv = condition.get_value()
-    val = (
-        None
-        if cv is None or a.get_value() is None or b.get_value() is None
-        else (1 if cv == 1 else f.sub(a.get_value(), b.get_value()))
-    )
+
+    def val():
+        cv = condition.get_value()
+        if cv is None or a.get_value() is None or b.get_value() is None:
+            return None
+        return 1 if cv == 1 else f.sub(a.get_value(), b.get_value())
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(
         lc_of(ONE) - a.get_variable() + b.get_variable(),
@@ -194,8 +221,10 @@ def select_one_or_diff2(cs, a: AllocatedNum, b: AllocatedNum, condition: Allocat
 
 
 def select_num_or_one(cs, a: AllocatedNum, condition: Boolean) -> AllocatedNum:
-    cv = condition.get_value()
-    val = None if cv is None else (a.get_value() if cv else 1)
+    def val():
+        cv = condition.get_value()
+        return None if cv is None else (a.get_value() if cv else 1)
+
     c = AllocatedNum.alloc(cs, val)
     cs.enforce(
         lc_of(a.get_variable()) - (1, ONE),

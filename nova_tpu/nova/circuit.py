@@ -34,7 +34,20 @@ from nova_tpu.provider.engines import Engine
 
 
 class StepCircuit:
-    """User step circuit trait (reference src/traits/circuit.rs:7-21)."""
+    """User step circuit trait (reference src/traits/circuit.rs:7-21).
+
+    Tape discipline (frontend/tape.py): prove_step compiles the augmented
+    circuit (including this circuit) into a replayable witness tape. For
+    that to be sound, `synthesize` must pass every allocation value as a
+    CLOSURE that reads `self.<state>` or previously allocated wrappers at
+    call time — never an int computed in the function body — and the
+    constraint/allocation structure must not depend on step values.
+    Per-step nondeterministic advice goes in instance attributes; the
+    prover copies the current step's attributes onto the traced circuit
+    before each replay. Circuits that cannot follow this discipline set
+    `tape_safe = False` to get the interpreted synthesis path."""
+
+    tape_safe = True
 
     def arity(self) -> int:
         raise NotImplementedError
@@ -84,12 +97,17 @@ class AllocatedR1CSInstance:
 
     @staticmethod
     def alloc(cs, engine: Engine, u) -> "AllocatedR1CSInstance":
+        """`u` is an R1CSInstance, None, or a closure returning either
+        (tape mode re-reads it on every replay)."""
+        ufn = u if callable(u) else (lambda: u)
         comm_W = AllocatedPoint.alloc(
-            cs, engine.curve, None if u is None else u.comm_W.to_coordinates()
+            cs,
+            engine.curve,
+            lambda: (lambda ui: None if ui is None else ui.comm_W.to_coordinates())(ufn()),
         )
         comm_W.check_on_curve(cs)
-        X0 = alloc_scalar_as_base(cs, None if u is None else u.X[0])
-        X1 = alloc_scalar_as_base(cs, None if u is None else u.X[1])
+        X0 = alloc_scalar_as_base(cs, lambda: (lambda ui: None if ui is None else ui.X[0])(ufn()))
+        X1 = alloc_scalar_as_base(cs, lambda: (lambda ui: None if ui is None else ui.X[1])(ufn()))
         return AllocatedR1CSInstance(comm_W, X0, X1)
 
     def absorb_in_ro(self, ro: PoseidonROCircuit):
@@ -108,18 +126,25 @@ class AllocatedRelaxedR1CSInstance:
 
     @staticmethod
     def alloc(cs, engine: Engine, inst) -> "AllocatedRelaxedR1CSInstance":
+        """`inst` is a RelaxedR1CSInstance, None, or a closure returning
+        either (tape mode re-reads it on every replay)."""
+        ifn = inst if callable(inst) else (lambda: inst)
         W = AllocatedPoint.alloc(
-            cs, engine.curve, None if inst is None else inst.comm_W.to_coordinates()
+            cs,
+            engine.curve,
+            lambda: (lambda U: None if U is None else U.comm_W.to_coordinates())(ifn()),
         )
         E = AllocatedPoint.alloc(
-            cs, engine.curve, None if inst is None else inst.comm_E.to_coordinates()
+            cs,
+            engine.curve,
+            lambda: (lambda U: None if U is None else U.comm_E.to_coordinates())(ifn()),
         )
-        u = alloc_scalar_as_base(cs, None if inst is None else inst.u)
+        u = alloc_scalar_as_base(cs, lambda: (lambda U: None if U is None else U.u)(ifn()))
         X0 = BigNat.alloc_from_nat(
-            cs, 0 if inst is None else inst.X[0], BN_LIMB_WIDTH, BN_N_LIMBS
+            cs, lambda: (lambda U: 0 if U is None else U.X[0])(ifn()), BN_LIMB_WIDTH, BN_N_LIMBS
         )
         X1 = BigNat.alloc_from_nat(
-            cs, 0 if inst is None else inst.X[1], BN_LIMB_WIDTH, BN_N_LIMBS
+            cs, lambda: (lambda U: 0 if U is None else U.X[1])(ifn()), BN_LIMB_WIDTH, BN_N_LIMBS
         )
         return AllocatedRelaxedR1CSInstance(W, E, u, X0, X1)
 
@@ -172,9 +197,11 @@ class AllocatedRelaxedR1CSInstance:
         rT = T.scalar_mul(cs, r_bits)
         E_fold = self.E.add(cs, rT)
 
-        u_val = None
-        if self.u.get_value() is not None and r.get_value() is not None:
-            u_val = f.add(self.u.get_value(), r.get_value())
+        def u_val():
+            if self.u.get_value() is None or r.get_value() is None:
+                return None
+            return f.add(self.u.get_value(), r.get_value())
+
         u_fold = AllocatedNum.alloc(cs, u_val)
         cs.enforce(
             LinearCombination.zero(),
@@ -232,31 +259,51 @@ class NovaAugmentedCircuit:
         self.ro_consts = ro_consts
 
     def _alloc_witness(self, cs, arity):
-        inp = self.inputs
-        pp_digest = alloc_scalar_as_base(cs, None if inp is None else inp.pp_digest)
-        i = AllocatedNum.alloc(cs, None if inp is None else inp.i)
+        """All values are closures over `self.inputs` so a recorded tape
+        replays with fresh per-step inputs (self.inputs reassigned)."""
+        shape_mode = self.inputs is None and not cs.is_witness_generator()
+        getp = lambda name: (  # noqa: E731
+            lambda: None if self.inputs is None else getattr(self.inputs, name)
+        )
+        pp_digest = alloc_scalar_as_base(cs, getp("pp_digest"))
+        i = AllocatedNum.alloc(cs, None if shape_mode else getp("i"))
         z_0 = [
-            AllocatedNum.alloc(cs, None if inp is None else inp.z0[j]) for j in range(arity)
+            AllocatedNum.alloc(
+                cs,
+                None if shape_mode else (lambda j=j: self.inputs.z0[j]),
+            )
+            for j in range(arity)
         ]
-        zi_vals = None
-        if inp is not None:
-            zi_vals = inp.zi if inp.zi is not None else [0] * arity
         z_i = [
-            AllocatedNum.alloc(cs, None if zi_vals is None else zi_vals[j])
+            AllocatedNum.alloc(
+                cs,
+                None
+                if shape_mode
+                else (
+                    lambda j=j: 0 if self.inputs.zi is None else self.inputs.zi[j]
+                ),
+            )
             for j in range(arity)
         ]
         U = AllocatedRelaxedR1CSInstance.alloc(
-            cs, self.engine, None if inp is None else inp.U
+            cs, self.engine, lambda: None if self.inputs is None else self.inputs.U
         )
         r_i = AllocatedNum.alloc(
-            cs, None if inp is None else (inp.ri if inp.ri is not None else 0)
+            cs,
+            None
+            if shape_mode
+            else (lambda: self.inputs.ri if self.inputs.ri is not None else 0),
         )
-        r_next = AllocatedNum.alloc(cs, None if inp is None else inp.r_next)
-        u = AllocatedR1CSInstance.alloc(cs, self.engine, None if inp is None else inp.u)
+        r_next = AllocatedNum.alloc(cs, None if shape_mode else getp("r_next"))
+        u = AllocatedR1CSInstance.alloc(
+            cs, self.engine, lambda: None if self.inputs is None else self.inputs.u
+        )
         T = AllocatedPoint.alloc(
             cs,
             self.engine.curve,
-            None if (inp is None or inp.T is None) else inp.T.to_coordinates(),
+            lambda: None
+            if (self.inputs is None or self.inputs.T is None)
+            else self.inputs.T.to_coordinates(),
         )
         T.check_on_curve(cs)
         return pp_digest, i, z_0, z_i, U, r_i, r_next, u, T
@@ -306,7 +353,10 @@ class NovaAugmentedCircuit:
         )
 
         f = cs.field
-        i_new_val = None if i.get_value() is None else f.add(i.get_value(), 1)
+
+        def i_new_val():
+            return None if i.get_value() is None else f.add(i.get_value(), 1)
+
         i_new = AllocatedNum.alloc(cs, i_new_val)
         cs.enforce(
             LinearCombination.zero(),

@@ -27,6 +27,7 @@ from nova_tpu.errors import (
     ProofVerifyError,
 )
 from nova_tpu.frontend.constraint_system import SatisfyingAssignment, ShapeCS
+from nova_tpu.frontend.tape import TapeCS, trace_mode
 from nova_tpu.nova.circuit import (
     NovaAugmentedCircuit,
     NovaAugmentedCircuitInputs,
@@ -199,6 +200,37 @@ class PublicParams:
         return (self.r1cs_shape_primary.num_vars, self.r1cs_shape_secondary.num_vars)
 
 
+class _CompiledAugmented:
+    """A NovaAugmentedCircuit compiled to a replayable witness tape
+    (SURVEY.md §7 hard-part 5; generalizes the reference's
+    src/frontend/gadgets/poseidon/circuit2_witness.rs approach to the whole
+    augmented circuit). The first synthesis records the tape; every later
+    step replays pure value closures — no constraint-system bookkeeping."""
+
+    def __init__(self, engine_circ, is_primary, step_circuit, ro_consts, field, inputs):
+        self.circuit = NovaAugmentedCircuit(
+            engine_circ, is_primary, inputs, step_circuit, ro_consts
+        )
+        self.cs = TapeCS(field)
+        with trace_mode():
+            self.z_out = self.circuit.synthesize(self.cs)
+
+    def run(self, inputs, step_circuit=None):
+        """Replay the tape with fresh inputs; returns (cs, z_next values).
+
+        `step_circuit` carries this step's state (nondeterministic advice);
+        its attributes are copied onto the traced circuit object so value
+        closures reading `self.<attr>` observe the new step's data."""
+        if step_circuit is not None and step_circuit is not self.circuit.step_circuit:
+            self.circuit.step_circuit.__dict__.update(step_circuit.__dict__)
+        self.circuit.inputs = inputs
+        self.cs.replay()
+        return self.cs, [n.get_value() for n in self.z_out]
+
+    def z_values(self):
+        return [n.get_value() for n in self.z_out]
+
+
 class RecursiveSNARK:
     """IVC state (src/nova/mod.rs:319-353)."""
 
@@ -227,6 +259,9 @@ class RecursiveSNARK:
         self.l_u_secondary = l_u_secondary
         self.i = i
         self.zi = list(zi)
+        # compiled witness tapes, built lazily on the first prove_step
+        self._wgen_primary = None
+        self._wgen_secondary = None
 
     # -- base case (src/nova/mod.rs:354-453) --------------------------------
     @staticmethod
@@ -325,7 +360,6 @@ class RecursiveSNARK:
 
         r_next_primary = secrets.randbelow(e1.scalar.p)
 
-        cs_primary = SatisfyingAssignment(e1.scalar)
         inputs_primary = NovaAugmentedCircuitInputs(
             pp_digest=pp.digest(),
             i=self.i,
@@ -337,9 +371,20 @@ class RecursiveSNARK:
             u=self.l_u_secondary,
             T=nifs_secondary.comm_T,
         )
-        zi_primary_nums = NovaAugmentedCircuit(
-            e2, True, inputs_primary, c, pp.ro_consts_circuit_primary
-        ).synthesize(cs_primary)
+        if not getattr(c, "tape_safe", True):
+            cs_primary = SatisfyingAssignment(e1.scalar)
+            zi_nums = NovaAugmentedCircuit(
+                e2, True, inputs_primary, c, pp.ro_consts_circuit_primary
+            ).synthesize(cs_primary)
+            zi_primary_vals = [n.get_value() for n in zi_nums]
+        elif self._wgen_primary is None:
+            self._wgen_primary = _CompiledAugmented(
+                e2, True, c, pp.ro_consts_circuit_primary, e1.scalar, inputs_primary
+            )
+            cs_primary = self._wgen_primary.cs
+            zi_primary_vals = self._wgen_primary.z_values()
+        else:
+            cs_primary, zi_primary_vals = self._wgen_primary.run(inputs_primary, c)
         l_u_primary, l_w_primary = cs_primary.r1cs_instance_and_witness(
             pp.r1cs_shape_primary, pp.ck_primary
         )
@@ -358,7 +403,6 @@ class RecursiveSNARK:
 
         r_next_secondary = secrets.randbelow(e2.scalar.p)
 
-        cs_secondary = SatisfyingAssignment(e2.scalar)
         inputs_secondary = NovaAugmentedCircuitInputs(
             pp_digest=pp.digest(),
             i=self.i,
@@ -370,14 +414,19 @@ class RecursiveSNARK:
             u=l_u_primary,
             T=nifs_primary.comm_T,
         )
-        NovaAugmentedCircuit(
-            e1, False, inputs_secondary, TrivialCircuit(), pp.ro_consts_circuit_secondary
-        ).synthesize(cs_secondary)
+        if self._wgen_secondary is None:
+            self._wgen_secondary = _CompiledAugmented(
+                e1, False, TrivialCircuit(), pp.ro_consts_circuit_secondary,
+                e2.scalar, inputs_secondary,
+            )
+            cs_secondary = self._wgen_secondary.cs
+        else:
+            cs_secondary, _ = self._wgen_secondary.run(inputs_secondary)
         l_u_secondary, l_w_secondary = cs_secondary.r1cs_instance_and_witness(
             pp.r1cs_shape_secondary, pp.ck_secondary
         )
 
-        self.zi = [n.get_value() for n in zi_primary_nums]
+        self.zi = zi_primary_vals
         self.l_u_secondary = l_u_secondary
         self.l_w_secondary = l_w_secondary
         self.r_U_primary = r_U_primary

@@ -22,9 +22,12 @@ class CubicCircuit(StepCircuit):
         x_sq = x.square(cs)
         x_cu = x_sq.mul(cs, x)
         f = cs.field
-        val = None
-        if x_cu.get_value() is not None:
-            val = (x_cu.get_value() + x.get_value() + 5) % f.p
+
+        def val():
+            if x_cu.get_value() is None:
+                return None
+            return (x_cu.get_value() + x.get_value() + 5) % f.p
+
         y = AllocatedNum.alloc(cs, val)
         from nova_tpu.frontend.constraint_system import ONE
 
