@@ -15,6 +15,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <algorithm>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -79,6 +80,9 @@ static inline void fp_sub(const Ctx& C, const u64 a[4], const u64 b[4], u64 out[
 
 static inline void fp_mul(const Ctx& C, const u64 a[4], const u64 b[4], u64 out[4]) {
   // CIOS Montgomery multiplication, 4x64 limbs
+#ifdef FP_MUL_HOOK
+  FP_MUL_HOOK
+#endif
   u64 t[6] = {0, 0, 0, 0, 0, 0};
   for (int i = 0; i < 4; i++) {
     u128 carry = 0;
@@ -317,6 +321,257 @@ static void batch_to_affine(const Ctx& C, std::vector<Jac>& pts,
 }
 
 // ---------------------------------------------------------------------------
+// Scheduled batched-affine signed-digit Pippenger (reference algorithm
+// family: src/provider/msm.rs signed decomposition + batch_add). Per
+// window, points are counting-sorted by bucket, then each bucket's run is
+// reduced by pairwise affine additions; all pairs of a round (across all
+// buckets) share ONE modular inversion via the Montgomery trick, so an
+// effective point add costs ~6 field muls with no scatter conflicts.
+// ---------------------------------------------------------------------------
+
+// One pairwise affine-addition round over all bucket segments.
+// bufs alternate between rounds (pair writes would clobber later reads
+// in-place).
+struct PairRound {
+  uint32_t dst;      // output slot
+  uint8_t kind;      // 0 add, 1 dbl
+};
+
+// Pair-round scratch. Operands are STASHED at classify time (when their
+// cache lines are hot) so the later passes stream sequentially instead of
+// chasing bucket-ordered slots; the inversion runs per 1024-pair chunk so
+// each chunk's working set stays L1/L2-resident across all four passes.
+struct PairScratch {
+  std::vector<PairRound> pairs;
+  std::vector<u64> dens, nums, pax, pay, pbx, prefix;
+  void ensure(size_t np) {
+    if (4 * np > dens.size()) {
+      dens.resize(4 * np); nums.resize(4 * np);
+      pax.resize(4 * np); pay.resize(4 * np); pbx.resize(4 * np);
+    }
+  }
+};
+
+static const size_t PAIR_CHUNK = 1024;
+
+static void msm_pair_rounds(const Ctx& C, size_t nb,
+                            std::vector<u64>& ax, std::vector<u64>& ay,
+                            std::vector<u64>& bx_, std::vector<u64>& by_,
+                            std::vector<uint32_t>& seg_start,
+                            std::vector<uint32_t>& seg_len,
+                            PairScratch& S) {
+  size_t max_len = 0;
+  for (size_t b = 0; b < nb; b++) max_len = std::max(max_len, (size_t)seg_len[b]);
+  const u64* cx = ax.data();
+  const u64* cy = ay.data();
+  u64* nx = bx_.data();
+  u64* ny = by_.data();
+  if (S.prefix.size() < 4 * (PAIR_CHUNK + 1)) S.prefix.resize(4 * (PAIR_CHUNK + 1));
+  while (max_len >= 2) {
+    S.pairs.clear();
+    S.ensure(max_len / 2 * nb + nb);  // upper bound; cheap after first round
+    // classify: build pair list, stash operands, copy lone points/carries
+    for (size_t b = 0; b < nb; b++) {
+      uint32_t s = seg_start[b], k = seg_len[b];
+      if (k == 0) continue;
+      if (k == 1) {
+        memcpy(nx + 4 * s, cx + 4 * s, 32);
+        memcpy(ny + 4 * s, cy + 4 * s, 32);
+        continue;
+      }
+      uint32_t out = 0;
+      for (uint32_t t = 0; t + 1 < k; t += 2) {
+        uint32_t i1 = s + t, i2 = s + t + 1;
+        size_t pi = S.pairs.size();
+        u64* den = &S.dens[4 * pi];
+        u64* num = &S.nums[4 * pi];
+        u64 dx[4];
+        fp_sub(C, cx + 4 * i2, cx + 4 * i1, dx);
+        if (fp_is_zero(dx)) {
+          u64 dy[4];
+          fp_sub(C, cy + 4 * i2, cy + 4 * i1, dy);
+          if (!fp_is_zero(dy)) continue;  // P + (-P): cancels, no output
+          fp_add(C, cy + 4 * i1, cy + 4 * i1, den);  // 2y
+          u64 xsq[4], t3[4];
+          fp_sqr(C, cx + 4 * i1, xsq);
+          fp_add(C, xsq, xsq, t3);
+          fp_add(C, t3, xsq, num);                   // 3x^2
+          S.pairs.push_back(PairRound{s + out, 1});
+        } else {
+          memcpy(den, dx, 32);
+          fp_sub(C, cy + 4 * i2, cy + 4 * i1, num);
+          S.pairs.push_back(PairRound{s + out, 0});
+        }
+        memcpy(&S.pax[4 * pi], cx + 4 * i1, 32);
+        memcpy(&S.pbx[4 * pi], cx + 4 * i2, 32);
+        memcpy(&S.pay[4 * pi], cy + 4 * i1, 32);
+        out++;
+      }
+      if (k & 1) {
+        memcpy(nx + 4 * (s + out), cx + 4 * (s + k - 1), 32);
+        memcpy(ny + 4 * (s + out), cy + 4 * (s + k - 1), 32);
+        out++;
+      }
+      seg_len[b] = out;
+    }
+    // batched EC math, one inversion per chunk
+    size_t np = S.pairs.size();
+    for (size_t c0 = 0; c0 < np; c0 += PAIR_CHUNK) {
+      size_t cn = std::min(PAIR_CHUNK, np - c0);
+      u64* prefix = S.prefix.data();
+      memcpy(prefix, C.r1, 32);
+      for (size_t i = 0; i < cn; i++)
+        fp_mul(C, prefix + 4 * i, &S.dens[4 * (c0 + i)], prefix + 4 * (i + 1));
+      u64 acc[4];
+      fp_inv(C, prefix + 4 * cn, acc);
+      // descending: dinv_i overwrites dens slot (streaming)
+      for (size_t ii = cn; ii-- > 0;) {
+        u64 dinv[4];
+        fp_mul(C, acc, prefix + 4 * ii, dinv);
+        fp_mul(C, acc, &S.dens[4 * (c0 + ii)], acc);
+        memcpy(&S.dens[4 * (c0 + ii)], dinv, 32);
+      }
+      // ascending: EC formulas, all operands sequential
+      for (size_t i = 0; i < cn; i++) {
+        size_t pi = c0 + i;
+        const PairRound& pr = S.pairs[pi];
+        u64 lam[4], x3[4], y3[4], t[4];
+        fp_mul(C, &S.nums[4 * pi], &S.dens[4 * pi], lam);
+        fp_sqr(C, lam, x3);
+        fp_sub(C, x3, &S.pax[4 * pi], x3);
+        fp_sub(C, x3, &S.pbx[4 * pi], x3);
+        fp_sub(C, &S.pax[4 * pi], x3, t);
+        fp_mul(C, lam, t, y3);
+        fp_sub(C, y3, &S.pay[4 * pi], y3);
+        memcpy(nx + 4 * pr.dst, x3, 32);
+        memcpy(ny + 4 * pr.dst, y3, 32);
+      }
+    }
+    std::swap(ax, bx_); std::swap(ay, by_);
+    cx = ax.data(); cy = ay.data();
+    nx = bx_.data(); ny = by_.data();
+    max_len = 0;
+    for (size_t b = 0; b < nb; b++) max_len = std::max(max_len, (size_t)seg_len[b]);
+  }
+}
+
+// Core MSM over selected bases. idx == NULL selects bases 0..n-1.
+static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
+                     const u64* scalars, const uint32_t* idx, size_t n,
+                     u64 out_x[4], u64 out_y[4], uint8_t* out_inf) {
+  // gather live (non-infinity, nonzero-scalar) points; Montgomery convert
+  std::vector<u64> mx, my, sc;
+  mx.reserve(4 * n); my.reserve(4 * n); sc.reserve(4 * n);
+  for (size_t i = 0; i < n; i++) {
+    size_t src = idx ? idx[i] : i;
+    const u64* k = scalars + 4 * i;
+    if (inf[src]) continue;
+    if ((k[0] | k[1] | k[2] | k[3]) == 0) continue;
+    u64 m[4];
+    fp_to_mont(*C, xs + 4 * src, m);
+    mx.insert(mx.end(), m, m + 4);
+    fp_to_mont(*C, ys + 4 * src, m);
+    my.insert(my.end(), m, m + 4);
+    sc.insert(sc.end(), k, k + 4);
+  }
+  size_t live = sc.size() / 4;
+  if (live == 0) {
+    *out_inf = 1;
+    memset(out_x, 0, 32); memset(out_y, 0, 32);
+    return;
+  }
+
+  // pick window size minimizing the mul-count model:
+  //   stage1 ~ live*W*6.2, bucket sums ~ 2^(c-1)*W*27
+  int c_best = 4;
+  double cost_best = 1e300;
+  for (int c = 4; c <= 15; c++) {
+    int W = (256 + c - 1) / c + 1;
+    double cost = 6.2 * (double)live * W + 27.0 * (double)(1 << (c - 1)) * W;
+    if (cost < cost_best) { cost_best = cost; c_best = c; }
+  }
+  int c = c_best;
+  int W = (256 + c - 1) / c + 1;
+  size_t nb = (size_t)1 << (c - 1);
+  int half = 1 << (c - 1);
+  u64 mask = ((u64)1 << c) - 1;
+
+  // signed digits
+  std::vector<int16_t> digits((size_t)live * W, 0);
+  for (size_t i = 0; i < live; i++) {
+    const u64* k = &sc[4 * i];
+    int carry = 0;
+    for (int w = 0; w < W; w++) {
+      int bit_lo = w * c;
+      u64 raw = 0;
+      if (bit_lo < 256) {
+        int limb = bit_lo / 64, ofs = bit_lo % 64;
+        raw = k[limb] >> ofs;
+        if (ofs + c > 64 && limb + 1 < 4) raw |= k[limb + 1] << (64 - ofs);
+        raw &= mask;
+      }
+      int d = (int)raw + carry;
+      if (d > half) { d -= (1 << c); carry = 1; } else carry = 0;
+      digits[(size_t)i * W + w] = (int16_t)d;
+    }
+  }
+
+  // window scratch (double-buffered for the pair rounds)
+  std::vector<u64> ax(4 * live), ay(4 * live), bxx(4 * live), byy(4 * live);
+  std::vector<uint32_t> seg_start(nb), seg_len(nb), cursor(nb);
+  PairScratch scratch;
+  scratch.pairs.reserve(live / 2 + 1);
+  scratch.ensure(live / 2 + 1);
+
+  Jac total; jac_set_identity(total);
+  for (int w = W - 1; w >= 0; w--) {
+    for (int d = 0; d < c; d++) jac_dbl(*C, total, total);
+    // counting sort by bucket, materializing signed affine points
+    std::fill(seg_len.begin(), seg_len.end(), 0);
+    for (size_t i = 0; i < live; i++) {
+      int d = digits[(size_t)i * W + w];
+      if (d) seg_len[(d < 0 ? -d : d) - 1]++;
+    }
+    uint32_t acc_off = 0;
+    for (size_t b = 0; b < nb; b++) {
+      seg_start[b] = acc_off;
+      cursor[b] = acc_off;
+      acc_off += seg_len[b];
+    }
+    for (size_t i = 0; i < live; i++) {
+      int d = digits[(size_t)i * W + w];
+      if (!d) continue;
+      uint32_t b = (uint32_t)((d < 0 ? -d : d) - 1);
+      uint32_t pos = cursor[b]++;
+      memcpy(&ax[4 * pos], &mx[4 * i], 32);
+      if (d < 0) fp_sub(*C, C->p, &my[4 * i], &ay[4 * pos]);
+      else memcpy(&ay[4 * pos], &my[4 * i], 32);
+    }
+    msm_pair_rounds(*C, nb, ax, ay, bxx, byy, seg_start, seg_len, scratch);
+    // running/weighted bucket reduction (buckets hold <=1 affine point)
+    Jac running, wsum;
+    jac_set_identity(running);
+    jac_set_identity(wsum);
+    for (size_t b = nb; b-- > 0;) {
+      if (seg_len[b])
+        jac_madd(*C, running, &ax[4 * seg_start[b]], &ay[4 * seg_start[b]],
+                 false, running);
+      jac_add(*C, wsum, running, wsum);
+    }
+    jac_add(*C, total, wsum, total);
+  }
+
+  if (jac_is_identity(total)) {
+    *out_inf = 1;
+    memset(out_x, 0, 32); memset(out_y, 0, 32);
+    return;
+  }
+  std::vector<Jac> one(1, total);
+  batch_to_affine(*C, one, out_x, out_y, out_inf);
+}
+
+
+// ---------------------------------------------------------------------------
 // extern "C" API
 // ---------------------------------------------------------------------------
 
@@ -409,54 +664,16 @@ void vec_invmod(Ctx* C, const u64* a, u64* out, size_t n) {
 void msm(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
          const u64* scalars, size_t n, u64 out_x[4], u64 out_y[4],
          uint8_t* out_inf) {
-  int c = 4;
-  if (n >= 32) c = 8;
-  if (n >= (1u << 13)) c = 12;
-  if (n >= (1u << 18)) c = 16;
-  int windows = (256 + c - 1) / c;
-  size_t nbuckets = ((size_t)1 << c) - 1;
+  msm_core(C, xs, ys, inf, scalars, NULL, n, out_x, out_y, out_inf);
+}
 
-  // Montgomery-convert bases once
-  std::vector<u64> mx(4 * n), my(4 * n);
-  for (size_t i = 0; i < n; i++) {
-    fp_to_mont(*C, xs + 4 * i, &mx[4 * i]);
-    fp_to_mont(*C, ys + 4 * i, &my[4 * i]);
-  }
-
-  Jac total; jac_set_identity(total);
-  std::vector<Jac> buckets(nbuckets);
-  for (int w = windows - 1; w >= 0; w--) {
-    for (int d = 0; d < c; d++) jac_dbl(*C, total, total);
-    for (size_t bkt = 0; bkt < nbuckets; bkt++) jac_set_identity(buckets[bkt]);
-    int bit_lo = w * c;
-    for (size_t i = 0; i < n; i++) {
-      if (inf[i]) continue;
-      int limb = bit_lo / 64, ofs = bit_lo % 64;
-      u64 d = scalars[4 * i + limb] >> ofs;
-      if (ofs + c > 64 && limb + 1 < 4) d |= scalars[4 * i + limb + 1] << (64 - ofs);
-      d &= (((u64)1 << c) - 1);
-      if (d == 0) continue;
-      jac_madd(*C, buckets[d - 1], &mx[4 * i], &my[4 * i], false, buckets[d - 1]);
-    }
-    Jac running, wsum;
-    jac_set_identity(running);
-    jac_set_identity(wsum);
-    for (size_t bkt = nbuckets; bkt-- > 0;) {
-      jac_add(*C, running, buckets[bkt], running);
-      jac_add(*C, wsum, running, wsum);
-    }
-    jac_add(*C, total, wsum, total);
-  }
-  if (jac_is_identity(total)) {
-    *out_inf = 1;
-    memset(out_x, 0, 32); memset(out_y, 0, 32);
-    return;
-  }
-  std::vector<Jac> one(1, total);
-  u64 ox[4], oy[4]; uint8_t oi;
-  batch_to_affine(*C, one, ox, oy, &oi);
-  memcpy(out_x, ox, 32); memcpy(out_y, oy, 32);
-  *out_inf = oi;
+// MSM over an index-selected subset of a cached base array: base i is
+// (xs,ys,inf)[idx[i]], scalar i is scalars[4i..]. Lets callers keep one
+// marshalled copy of a commitment key and address per-round subsets.
+void msm_idx(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
+             const u64* scalars, const uint32_t* idx, size_t n,
+             u64 out_x[4], u64 out_y[4], uint8_t* out_inf) {
+  msm_core(C, xs, ys, inf, scalars, idx, n, out_x, out_y, out_inf);
 }
 
 // Fold commitment key: out[i] = w1*L[i] + w2*R[i] (Strauss dual-scalar mul)

@@ -55,6 +55,9 @@ def _build() -> Optional[ctypes.CDLL]:
         ("vec_axpy", [u64p, u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_invmod", [u64p, u64p, ctypes.c_size_t]),
         ("msm", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
+        ("msm_idx", [u64p, u64p, u8p, u64p,
+                     ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+                     u64p, u64p, u8p]),
         ("ec_fold", [u64p, u64p, u8p, u64p, u64p, u8p, u64p, u64p,
                      ctypes.c_size_t, u64p, u64p, u8p]),
         ("ec_scale", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
@@ -146,6 +149,49 @@ def msm(scalars: Sequence[int], points) -> "AffinePoint":
     oinf = np.zeros(1, dtype=np.uint8)
     lib.msm(ctx, _ptr64(xs), _ptr64(ys), _ptr8(inf), _ptr64(ks), n,
             _ptr64(ox), _ptr64(oy), _ptr8(oinf))
+    if oinf[0]:
+        return AffinePoint.identity(curve)
+    return AffinePoint(
+        curve,
+        int.from_bytes(ox.astype("<u8").tobytes(), "little"),
+        int.from_bytes(oy.astype("<u8").tobytes(), "little"),
+    )
+
+
+def marshal_points(points) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-time limb marshalling of an affine point list, for msm_cached."""
+    return _points_to_arrays(points)
+
+
+def msm_cached(curve, arrays, scalars: Sequence[int], indices=None):
+    """MSM over pre-marshalled bases (from marshal_points), optionally
+    index-selected: base i = arrays[indices[i]]. Saves the per-call
+    Python-int -> limb conversion of the points (the dominant Python-side
+    cost for repeated commits against one key)."""
+    from nova_tpu.curves.spec import AffinePoint
+
+    ctx = _ctx(curve.base.p)
+    lib = _get_lib()
+    xs, ys, inf = arrays
+    n = len(scalars)
+    ks = ints_to_limbs([s % curve.scalar.p for s in scalars])
+    if indices is None:
+        assert n <= xs.shape[0]
+        idxp = None
+        idx_arr = None
+    else:
+        idx_arr = np.asarray(indices, dtype=np.uint32)
+        assert idx_arr.shape[0] == n
+        idxp = idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    ox = np.zeros(4, dtype=np.uint64)
+    oy = np.zeros(4, dtype=np.uint64)
+    oinf = np.zeros(1, dtype=np.uint8)
+    if indices is None:
+        lib.msm(ctx, _ptr64(xs), _ptr64(ys), _ptr8(inf), _ptr64(ks), n,
+                _ptr64(ox), _ptr64(oy), _ptr8(oinf))
+    else:
+        lib.msm_idx(ctx, _ptr64(xs), _ptr64(ys), _ptr8(inf), _ptr64(ks),
+                    idxp, n, _ptr64(ox), _ptr64(oy), _ptr8(oinf))
     if oinf[0]:
         return AffinePoint.identity(curve)
     return AffinePoint(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
+from nova_tpu.curves.msm_host import msm as host_msm
 from nova_tpu.errors import InvalidInputLengthError, ProofVerifyError
 from nova_tpu.fields.spec import FieldSpec
 from nova_tpu.provider.pedersen import Commitment, CommitmentEngine, CommitmentKey
@@ -78,27 +79,59 @@ class InnerProductArgument:
         a_vec = [x % p for x in a_vec]
         b_vec = [x % p for x in U.b_vec]
 
-        rounds = (len(U.b_vec)).bit_length() - 1
+        # Folded-key-free prover. The reference folds the commitment key
+        # every round (ipa_pc.rs:158-390: ck.fold(r_inv, r)); that costs
+        # ~2 full scalar muls per generator per round and dominates prove
+        # time. Instead we keep the ORIGINAL generators and track, for each
+        # original index k, the scalar weight w[k] = prod over past rounds
+        # of (r_t if bit_t(k) else r_inv_t), where bit_t is k's t-th
+        # most-significant bit. The folded key position low(k) then satisfies
+        #   ck_folded[i] = sum_{k: low(k)=i} w[k] * G[k],
+        # so each round's L/R are size-N/2 MSMs over fixed index subsets —
+        # identical points to the reference's folded-key commits, at
+        # Pippenger cost instead of per-generator scalar-mul cost.
+        N = len(a_vec)
+        gens = ck.ck[:N]
+        ck_c_gen = ck_c.ck[0]
+        w = [1] * N
+
+        rounds = N.bit_length() - 1
         for _ in range(rounds):
             n = len(a_vec)
-            ck_L, ck_R = ck.split_at(n // 2)
-            c_L = _inner_product(field, a_vec[: n // 2], b_vec[n // 2:])
-            c_R = _inner_product(field, a_vec[n // 2:], b_vec[: n // 2])
-            L = CommitmentEngine.commit(ck_R.combine(ck_c), a_vec[: n // 2] + [c_L], 0)
-            R = CommitmentEngine.commit(ck_L.combine(ck_c), a_vec[n // 2:] + [c_R], 0)
+            n2 = n // 2
+            c_L = _inner_product(field, a_vec[:n2], b_vec[n2:])
+            c_R = _inner_product(field, a_vec[n2:], b_vec[:n2])
+            low_mask = n2 - 1
+            Lp, Ls, Rp, Rs = [], [], [], []
+            for k in range(N):
+                if w[k] == 0:
+                    continue
+                if k & n2:
+                    Lp.append(gens[k])
+                    Ls.append(a_vec[k & low_mask] * w[k] % p)
+                else:
+                    Rp.append(gens[k])
+                    Rs.append(a_vec[n2 + (k & low_mask)] * w[k] % p)
+            Lp.append(ck_c_gen)
+            Ls.append(c_L)
+            Rp.append(ck_c_gen)
+            Rs.append(c_R)
+            L = Commitment(host_msm(Ls, Lp))
+            R = Commitment(host_msm(Rs, Rp))
             transcript.absorb(b"L", L)
             transcript.absorb(b"R", R)
             r_i = transcript.squeeze(b"r")
             r_inv = field.inv(r_i)
             a_vec = [
                 (aL * r_i + r_inv * aR) % p
-                for aL, aR in zip(a_vec[: n // 2], a_vec[n // 2:])
+                for aL, aR in zip(a_vec[:n2], a_vec[n2:])
             ]
             b_vec = [
                 (bL * r_inv + r_i * bR) % p
-                for bL, bR in zip(b_vec[: n // 2], b_vec[n // 2:])
+                for bL, bR in zip(b_vec[:n2], b_vec[n2:])
             ]
-            ck = ck.fold(r_inv, r_i)
+            for k in range(N):
+                w[k] = w[k] * (r_i if k & n2 else r_inv) % p
             L_vec.append(L)
             R_vec.append(R)
 
