@@ -643,6 +643,34 @@ void vec_axpy(Ctx* C, const u64* a, const u64* b, const u64 s[4], u64* out, size
   }
 }
 
+// out = r1*a + r2*b elementwise (fold step of IPA halving rounds)
+void vec_fold(Ctx* C, const u64* a, const u64* b, const u64 r1[4],
+              const u64 r2[4], u64* out, size_t n) {
+  u64 r1m[4], r2m[4], am[4], bm[4], t1[4], t2[4];
+  fp_to_mont(*C, r1, r1m);
+  fp_to_mont(*C, r2, r2m);
+  for (size_t i = 0; i < n; i++) {
+    fp_to_mont(*C, a + 4 * i, am);
+    fp_to_mont(*C, b + 4 * i, bm);
+    fp_mul(*C, r1m, am, t1);
+    fp_mul(*C, r2m, bm, t2);
+    fp_add(*C, t1, t2, t1);
+    fp_from_mont(*C, t1, out + 4 * i);
+  }
+}
+
+// out = sum_i a_i * b_i mod p
+void vec_dot(Ctx* C, const u64* a, const u64* b, u64 out[4], size_t n) {
+  u64 acc[4] = {0, 0, 0, 0};
+  u64 am[4], bm[4], t[4];
+  for (size_t i = 0; i < n; i++) {
+    fp_to_mont(*C, a + 4 * i, am);
+    fp_mul(*C, am, b + 4 * i, t);  // result in normal form: mont(a)*b = a*b*R*R^-1
+    fp_add(*C, acc, t, acc);
+  }
+  memcpy(out, acc, 32);
+}
+
 void vec_invmod(Ctx* C, const u64* a, u64* out, size_t n) {
   // Montgomery trick; caller guarantees nonzero
   std::vector<u64> mont(4 * n), prefix(4 * (n + 1));

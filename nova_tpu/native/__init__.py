@@ -54,6 +54,8 @@ def _build() -> Optional[ctypes.CDLL]:
         ("vec_submod", [u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_axpy", [u64p, u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_invmod", [u64p, u64p, ctypes.c_size_t]),
+        ("vec_fold", [u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_dot", [u64p, u64p, u64p, ctypes.c_size_t]),
         ("msm", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
         ("msm_idx", [u64p, u64p, u8p, u64p,
                      ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
@@ -173,8 +175,12 @@ def msm_cached(curve, arrays, scalars: Sequence[int], indices=None):
     ctx = _ctx(curve.base.p)
     lib = _get_lib()
     xs, ys, inf = arrays
-    n = len(scalars)
-    ks = ints_to_limbs([s % curve.scalar.p for s in scalars])
+    if isinstance(scalars, np.ndarray):
+        ks = np.ascontiguousarray(scalars)
+        n = ks.shape[0]
+    else:
+        n = len(scalars)
+        ks = ints_to_limbs([s % curve.scalar.p for s in scalars])
     if indices is None:
         assert n <= xs.shape[0]
         idxp = None
@@ -259,6 +265,45 @@ def vec_mulmod(p: int, a: Sequence[int], b: Sequence[int]) -> List[int]:
     out = np.zeros((n, 4), dtype=np.uint64)
     lib.vec_mulmod(ctx, _ptr64(aa), _ptr64(bb), _ptr64(out), n)
     return limbs_to_ints(out)
+
+
+# -- limb-array-level ops (no int conversion; (n,4) uint64 LE in/out) ---------
+
+def vec_mulmod_l(p: int, aa: np.ndarray, bb: np.ndarray) -> np.ndarray:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = aa.shape[0]
+    aa = np.ascontiguousarray(aa)
+    bb = np.ascontiguousarray(bb)
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vec_mulmod(ctx, _ptr64(aa), _ptr64(bb), _ptr64(out), n)
+    return out
+
+
+def vec_fold_l(p: int, aa: np.ndarray, bb: np.ndarray, r1: int, r2: int) -> np.ndarray:
+    """out = r1*a + r2*b elementwise."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = aa.shape[0]
+    aa = np.ascontiguousarray(aa)
+    bb = np.ascontiguousarray(bb)
+    rr1 = ints_to_limbs([r1 % p])
+    rr2 = ints_to_limbs([r2 % p])
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vec_fold(ctx, _ptr64(aa), _ptr64(bb), _ptr64(rr1), _ptr64(rr2), _ptr64(out), n)
+    return out
+
+
+def vec_dot_l(p: int, aa: np.ndarray, bb: np.ndarray) -> int:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = aa.shape[0]
+    assert bb.shape[0] == n
+    aa = np.ascontiguousarray(aa)
+    bb = np.ascontiguousarray(bb)
+    out = np.zeros(4, dtype=np.uint64)
+    lib.vec_dot(ctx, _ptr64(aa), _ptr64(bb), _ptr64(out), n)
+    return int.from_bytes(out.astype("<u8").tobytes(), "little")
 
 
 def vec_invmod(p: int, a: Sequence[int]) -> List[int]:

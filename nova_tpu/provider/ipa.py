@@ -93,9 +93,61 @@ class InnerProductArgument:
         N = len(a_vec)
         gens = ck.ck[:N]
         ck_c_gen = ck_c.ck[0]
-        w = [1] * N
-
         rounds = N.bit_length() - 1
+
+        from nova_tpu import native
+
+        if native.available() and N >= 4:
+            import numpy as np
+
+            # Limb-array round loop: scalars/weights stay (n,4) uint64 and
+            # all field math runs in the native kernels; Python ints appear
+            # only at the transcript boundary.
+            gx, gy, ginf = ck.host_arrays(N)
+            cx, cy, cinf = native.marshal_points([ck_c_gen])
+            ax_ = np.vstack([gx[:N], cx])
+            ay_ = np.vstack([gy[:N], cy])
+            ainf = np.concatenate([ginf[:N], cinf])
+            arrays = (ax_, ay_, ainf)
+            a = native.ints_to_limbs(a_vec)
+            b = native.ints_to_limbs(b_vec)
+            w = native.ints_to_limbs([1] * N)
+            kidx = np.arange(N, dtype=np.uint32)
+            extra = np.array([N], dtype=np.uint32)
+            for _ in range(rounds):
+                n = a.shape[0]
+                n2 = n // 2
+                c_L = native.vec_dot_l(p, a[:n2], b[n2:])
+                c_R = native.vec_dot_l(p, a[n2:], b[:n2])
+                low = kidx & (n2 - 1)
+                hi_mask = (kidx & n2) != 0
+                idx_hi = kidx[hi_mask]
+                idx_lo = kidx[~hi_mask]
+                Ls = native.vec_mulmod_l(p, a[low[idx_hi]], w[idx_hi])
+                Rs = native.vec_mulmod_l(p, a[n2 + low[idx_lo]], w[idx_lo])
+                Ls = np.vstack([Ls, native.ints_to_limbs([c_L])])
+                Rs = np.vstack([Rs, native.ints_to_limbs([c_R])])
+                L = Commitment(native.msm_cached(
+                    ck.curve, arrays, Ls, np.concatenate([idx_hi, extra])))
+                R = Commitment(native.msm_cached(
+                    ck.curve, arrays, Rs, np.concatenate([idx_lo, extra])))
+                transcript.absorb(b"L", L)
+                transcript.absorb(b"R", R)
+                r_i = transcript.squeeze(b"r")
+                r_inv = field.inv(r_i)
+                a = native.vec_fold_l(p, a[:n2], a[n2:], r_i, r_inv)
+                b = native.vec_fold_l(p, b[:n2], b[n2:], r_inv, r_i)
+                fac = np.empty((N, 4), dtype=np.uint64)
+                fac[hi_mask] = native.ints_to_limbs([r_i])[0]
+                fac[~hi_mask] = native.ints_to_limbs([r_inv])[0]
+                w = native.vec_mulmod_l(p, w, fac)
+                L_vec.append(L)
+                R_vec.append(R)
+            a_hat = native.limbs_to_ints(a[:1])[0]
+            return InnerProductArgument(L_vec, R_vec, a_hat)
+
+        # Pure-Python fallback: same math on int lists.
+        w = [1] * N
         for _ in range(rounds):
             n = len(a_vec)
             n2 = n // 2
@@ -104,8 +156,6 @@ class InnerProductArgument:
             low_mask = n2 - 1
             Lp, Ls, Rp, Rs = [], [], [], []
             for k in range(N):
-                if w[k] == 0:
-                    continue
                 if k & n2:
                     Lp.append(gens[k])
                     Ls.append(a_vec[k & low_mask] * w[k] % p)

@@ -93,6 +93,17 @@ class CommitmentKey:
             object.__setattr__(self, "_device_bases2", db)
         return db
 
+    def host_arrays(self, n: int):
+        """Limb-marshalled generator arrays for native.msm_cached, cached
+        (one-time Python-int -> limb conversion per key)."""
+        from nova_tpu import native
+
+        arrs = getattr(self, "_host_arrays", None)
+        if arrs is None or arrs[0].shape[0] < n:
+            arrs = native.marshal_points(self.ck[: max(n, len(self.ck))])
+            object.__setattr__(self, "_host_arrays", arrs)
+        return arrs
+
     # split/combine/fold/scale for IPA (CommitmentKeyExtTrait,
     # src/provider/pedersen.rs:431-529)
     def split_at(self, n: int):
