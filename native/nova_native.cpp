@@ -26,7 +26,14 @@ struct Ctx {
   u64 r2[4];    // (2^256)^2 mod p
   u64 n0inv;    // -p^{-1} mod 2^64
   u64 b_mont[4];// curve b in Montgomery form (for on-curve checks; unused in group law)
+  // 52-bit-limb mirror (radix 2^52, R' = 2^260) for the AVX-512 IFMA path
+  u64 p52[5];   // modulus in 52-bit limbs
+  u64 k052;     // -p^{-1} mod 2^52
+  u64 one52[5]; // R' mod p   (Montgomery-52 ONE, canonical)
+  u64 rr52[5];  // R'^2 mod p (canonical)
 };
+
+#define MASK52 ((1ULL << 52) - 1)
 
 // ---------------------------------------------------------------------------
 // 256-bit helpers (non-modular)
@@ -152,6 +159,97 @@ static void fp_inv(const Ctx& C, const u64 a[4], u64 out[4]) {
   u64 two[4] = {2, 0, 0, 0};
   sub256(C.p, two, pm2);
   fp_pow(C, a, pm2, out);
+}
+
+// ---------------------------------------------------------------------------
+// Scalar 52-bit-limb helpers (Montgomery radix 2^52, R' = 2^260). Companion
+// to the AVX-512 IFMA vector core below; also used for per-bucket domain
+// conversions. All outputs canonical [0, p).
+// ---------------------------------------------------------------------------
+
+static inline void limbs64_to_52(const u64 a[4], u64 o[5]) {
+  o[0] = a[0] & MASK52;
+  o[1] = ((a[0] >> 52) | (a[1] << 12)) & MASK52;
+  o[2] = ((a[1] >> 40) | (a[2] << 24)) & MASK52;
+  o[3] = ((a[2] >> 28) | (a[3] << 36)) & MASK52;
+  o[4] = a[3] >> 16;
+}
+
+static inline void limbs52_to_64(const u64 a[5], u64 o[4]) {
+  o[0] = a[0] | (a[1] << 52);
+  o[1] = (a[1] >> 12) | (a[2] << 40);
+  o[2] = (a[2] >> 24) | (a[3] << 28);
+  o[3] = (a[3] >> 36) | (a[4] << 16);
+}
+
+static inline bool s52_is_zero(const u64 a[5]) {
+  return (a[0] | a[1] | a[2] | a[3] | a[4]) == 0;
+}
+
+// out = (a - b) mod p, inputs canonical
+static inline void s52_sub(const Ctx& C, const u64 a[5], const u64 b[5], u64 out[5]) {
+  long long borrow = 0;
+  u64 t[5];
+  for (int i = 0; i < 5; i++) {
+    long long d = (long long)a[i] - (long long)b[i] + borrow;
+    t[i] = (u64)d & MASK52;
+    borrow = d < 0 ? -1 : 0;
+  }
+  if (borrow) {
+    u128 c = 0;
+    for (int i = 0; i < 5; i++) {
+      c += (u128)t[i] + C.p52[i];
+      out[i] = (u64)c & MASK52;
+      c >>= 52;
+    }
+  } else {
+    memcpy(out, t, 40);
+  }
+}
+
+static void s52_mont_mul(const Ctx& C, const u64 a[5], const u64 b[5], u64 out[5]) {
+  u128 r[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 5; i++) {
+    for (int j = 0; j < 5; j++) {
+      u128 prod = (u128)a[i] * b[j];
+      r[j]   += (u64)(prod & MASK52);
+      r[j+1] += (u64)(prod >> 52);
+    }
+    u64 y = ((u64)r[0] * C.k052) & MASK52;
+    for (int j = 0; j < 5; j++) {
+      u128 prod = (u128)y * C.p52[j];
+      r[j]   += (u64)(prod & MASK52);
+      r[j+1] += (u64)(prod >> 52);
+    }
+    r[1] += (u64)(r[0] >> 52);
+    for (int j = 0; j < 5; j++) r[j] = r[j+1];
+    r[5] = 0;
+  }
+  u64 o[5];
+  u128 c = 0;
+  for (int i = 0; i < 5; i++) { c += r[i]; o[i] = (u64)(c & MASK52); c >>= 52; }
+  long long borrow = 0;
+  u64 t[5];
+  for (int i = 0; i < 5; i++) {
+    long long d = (long long)o[i] - (long long)C.p52[i] + borrow;
+    t[i] = (u64)d & MASK52;
+    borrow = d < 0 ? -1 : 0;
+  }
+  if (borrow == 0) memcpy(out, t, 40); else memcpy(out, o, 40);
+}
+
+// x (normal 64-limb) -> Montgomery-52
+static inline void s52_to_mont(const Ctx& C, const u64 a[4], u64 out[5]) {
+  u64 a52[5];
+  limbs64_to_52(a, a52);
+  s52_mont_mul(C, a52, C.rr52, out);
+}
+
+// Montgomery-52 -> normal 64-limb
+static inline void s52_from_mont(const Ctx& C, const u64 a[5], u64 out[4]) {
+  u64 one[5] = {1, 0, 0, 0, 0}, t[5];
+  s52_mont_mul(C, a, one, t);
+  limbs52_to_64(t, out);
 }
 
 // ---------------------------------------------------------------------------
@@ -329,6 +427,205 @@ static void batch_to_affine(const Ctx& C, std::vector<Jac>& pts,
 // effective point add costs ~6 field muls with no scatter conflicts.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// AVX-512 IFMA vector field core: 8 independent field elements per op,
+// 52-bit limbs (radix 2^52, Montgomery R' = 2^260), canonical [0, p)
+// in/out. Used by the MSM pair phase; runtime-dispatched.
+// ---------------------------------------------------------------------------
+#if defined(__x86_64__)
+#include <immintrin.h>
+#pragma GCC push_options
+#pragma GCC target("avx512f,avx512dq,avx512ifma,avx512vl,avx512bw")
+
+struct V52 { __m512i l[5]; };
+
+static inline V52 v52_bcast(const u64 a[5]) {
+  V52 r;
+  for (int l = 0; l < 5; l++) r.l[l] = _mm512_set1_epi64((long long)a[l]);
+  return r;
+}
+
+// gather 8 rows (row-major (n,5) u64 array) by u32 row indices
+static inline V52 v52_gather(const u64* base, const uint32_t* idx) {
+  __m256i i32 = _mm256_loadu_si256((const __m256i*)idx);
+  __m512i i64 = _mm512_cvtepu32_epi64(i32);
+  __m512i i5 = _mm512_add_epi64(_mm512_slli_epi64(i64, 2), i64);  // idx*5
+  V52 r;
+  for (int l = 0; l < 5; l++)
+    r.l[l] = _mm512_i64gather_epi64(
+        _mm512_add_epi64(i5, _mm512_set1_epi64(l)), (const long long*)base, 8);
+  return r;
+}
+
+static inline void v52_scatter(u64* base, const uint32_t* idx, const V52& v,
+                               __mmask8 m) {
+  __m256i i32 = _mm256_loadu_si256((const __m256i*)idx);
+  __m512i i64 = _mm512_cvtepu32_epi64(i32);
+  __m512i i5 = _mm512_add_epi64(_mm512_slli_epi64(i64, 2), i64);
+  for (int l = 0; l < 5; l++)
+    _mm512_mask_i64scatter_epi64((long long*)base, m,
+        _mm512_add_epi64(i5, _mm512_set1_epi64(l)), v.l[l], 8);
+}
+
+static inline void v52_store_blk(u64* dst, const V52& v) {
+  for (int l = 0; l < 5; l++) _mm512_storeu_si512((__m512i*)(dst + 8 * l), v.l[l]);
+}
+
+static inline V52 v52_load_blk(const u64* srcp) {
+  V52 r;
+  for (int l = 0; l < 5; l++) r.l[l] = _mm512_loadu_si512((const __m512i*)(srcp + 8 * l));
+  return r;
+}
+
+static inline __mmask8 v52_iszero(const V52& a) {
+  __m512i acc = _mm512_or_epi64(_mm512_or_epi64(a.l[0], a.l[1]),
+                                _mm512_or_epi64(a.l[2], a.l[3]));
+  acc = _mm512_or_epi64(acc, a.l[4]);
+  return _mm512_cmpeq_epu64_mask(acc, _mm512_setzero_si512());
+}
+
+static inline V52 v52_blend(__mmask8 m, const V52& a, const V52& b) {
+  // lane = m ? b : a
+  V52 r;
+  for (int l = 0; l < 5; l++) r.l[l] = _mm512_mask_blend_epi64(m, a.l[l], b.l[l]);
+  return r;
+}
+
+// canonical conditional-subtract-p tail shared by mul/add
+static inline V52 v52_cond_sub_p(const Ctx& C, __m512i r0, __m512i r1, __m512i r2,
+                                 __m512i r3, __m512i r4) {
+  const __m512i m52 = _mm512_set1_epi64(MASK52);
+  __m512i p0 = _mm512_set1_epi64((long long)C.p52[0]);
+  __m512i p1 = _mm512_set1_epi64((long long)C.p52[1]);
+  __m512i p2 = _mm512_set1_epi64((long long)C.p52[2]);
+  __m512i p3 = _mm512_set1_epi64((long long)C.p52[3]);
+  __m512i p4 = _mm512_set1_epi64((long long)C.p52[4]);
+  __m512i t0 = _mm512_sub_epi64(r0, p0);
+  __m512i b0 = _mm512_srli_epi64(t0, 63);
+  t0 = _mm512_and_epi64(t0, m52);
+  __m512i t1 = _mm512_sub_epi64(_mm512_sub_epi64(r1, p1), b0);
+  __m512i b1 = _mm512_srli_epi64(t1, 63);
+  t1 = _mm512_and_epi64(t1, m52);
+  __m512i t2 = _mm512_sub_epi64(_mm512_sub_epi64(r2, p2), b1);
+  __m512i b2 = _mm512_srli_epi64(t2, 63);
+  t2 = _mm512_and_epi64(t2, m52);
+  __m512i t3 = _mm512_sub_epi64(_mm512_sub_epi64(r3, p3), b2);
+  __m512i b3 = _mm512_srli_epi64(t3, 63);
+  t3 = _mm512_and_epi64(t3, m52);
+  __m512i t4 = _mm512_sub_epi64(_mm512_sub_epi64(r4, p4), b3);
+  __mmask8 lt = _mm512_movepi64_mask(t4);  // sign set => value < p => keep r
+  t4 = _mm512_and_epi64(t4, m52);
+  V52 out;
+  out.l[0] = _mm512_mask_blend_epi64(lt, t0, r0);
+  out.l[1] = _mm512_mask_blend_epi64(lt, t1, r1);
+  out.l[2] = _mm512_mask_blend_epi64(lt, t2, r2);
+  out.l[3] = _mm512_mask_blend_epi64(lt, t3, r3);
+  out.l[4] = _mm512_mask_blend_epi64(lt, t4, r4);
+  return out;
+}
+
+static inline V52 v52_mont_mul(const Ctx& C, const V52& a, const V52& b) {
+  const __m512i zero = _mm512_setzero_si512();
+  __m512i r0 = zero, r1 = zero, r2 = zero, r3 = zero, r4 = zero, r5 = zero;
+  const __m512i k0 = _mm512_set1_epi64((long long)C.k052);
+  const __m512i p0 = _mm512_set1_epi64((long long)C.p52[0]);
+  const __m512i p1 = _mm512_set1_epi64((long long)C.p52[1]);
+  const __m512i p2 = _mm512_set1_epi64((long long)C.p52[2]);
+  const __m512i p3 = _mm512_set1_epi64((long long)C.p52[3]);
+  const __m512i p4 = _mm512_set1_epi64((long long)C.p52[4]);
+  for (int i = 0; i < 5; i++) {
+    __m512i ai = a.l[i];
+    r0 = _mm512_madd52lo_epu64(r0, ai, b.l[0]);
+    r1 = _mm512_madd52lo_epu64(r1, ai, b.l[1]);
+    r2 = _mm512_madd52lo_epu64(r2, ai, b.l[2]);
+    r3 = _mm512_madd52lo_epu64(r3, ai, b.l[3]);
+    r4 = _mm512_madd52lo_epu64(r4, ai, b.l[4]);
+    r1 = _mm512_madd52hi_epu64(r1, ai, b.l[0]);
+    r2 = _mm512_madd52hi_epu64(r2, ai, b.l[1]);
+    r3 = _mm512_madd52hi_epu64(r3, ai, b.l[2]);
+    r4 = _mm512_madd52hi_epu64(r4, ai, b.l[3]);
+    r5 = _mm512_madd52hi_epu64(r5, ai, b.l[4]);
+    __m512i y = _mm512_madd52lo_epu64(zero, r0, k0);
+    r0 = _mm512_madd52lo_epu64(r0, y, p0);
+    __m512i c = _mm512_srli_epi64(r0, 52);
+    r1 = _mm512_add_epi64(r1, c);
+    r1 = _mm512_madd52hi_epu64(r1, y, p0);
+    r1 = _mm512_madd52lo_epu64(r1, y, p1);
+    r2 = _mm512_madd52hi_epu64(r2, y, p1);
+    r2 = _mm512_madd52lo_epu64(r2, y, p2);
+    r3 = _mm512_madd52hi_epu64(r3, y, p2);
+    r3 = _mm512_madd52lo_epu64(r3, y, p3);
+    r4 = _mm512_madd52hi_epu64(r4, y, p3);
+    r4 = _mm512_madd52lo_epu64(r4, y, p4);
+    r5 = _mm512_madd52hi_epu64(r5, y, p4);
+    r0 = r1; r1 = r2; r2 = r3; r3 = r4; r4 = r5; r5 = zero;
+  }
+  const __m512i m52 = _mm512_set1_epi64(MASK52);
+  __m512i c;
+  c = _mm512_srli_epi64(r0, 52); r0 = _mm512_and_epi64(r0, m52); r1 = _mm512_add_epi64(r1, c);
+  c = _mm512_srli_epi64(r1, 52); r1 = _mm512_and_epi64(r1, m52); r2 = _mm512_add_epi64(r2, c);
+  c = _mm512_srli_epi64(r2, 52); r2 = _mm512_and_epi64(r2, m52); r3 = _mm512_add_epi64(r3, c);
+  c = _mm512_srli_epi64(r3, 52); r3 = _mm512_and_epi64(r3, m52); r4 = _mm512_add_epi64(r4, c);
+  return v52_cond_sub_p(C, r0, r1, r2, r3, r4);
+}
+
+static inline V52 v52_add(const Ctx& C, const V52& a, const V52& b) {
+  const __m512i m52 = _mm512_set1_epi64(MASK52);
+  __m512i s0 = _mm512_add_epi64(a.l[0], b.l[0]);
+  __m512i s1 = _mm512_add_epi64(a.l[1], b.l[1]);
+  __m512i s2 = _mm512_add_epi64(a.l[2], b.l[2]);
+  __m512i s3 = _mm512_add_epi64(a.l[3], b.l[3]);
+  __m512i s4 = _mm512_add_epi64(a.l[4], b.l[4]);
+  __m512i c;
+  c = _mm512_srli_epi64(s0, 52); s0 = _mm512_and_epi64(s0, m52); s1 = _mm512_add_epi64(s1, c);
+  c = _mm512_srli_epi64(s1, 52); s1 = _mm512_and_epi64(s1, m52); s2 = _mm512_add_epi64(s2, c);
+  c = _mm512_srli_epi64(s2, 52); s2 = _mm512_and_epi64(s2, m52); s3 = _mm512_add_epi64(s3, c);
+  c = _mm512_srli_epi64(s3, 52); s3 = _mm512_and_epi64(s3, m52); s4 = _mm512_add_epi64(s4, c);
+  return v52_cond_sub_p(C, s0, s1, s2, s3, s4);
+}
+
+static inline V52 v52_sub(const Ctx& C, const V52& a, const V52& b) {
+  const __m512i m52 = _mm512_set1_epi64(MASK52);
+  // t = a - b with borrow chain
+  __m512i t0 = _mm512_sub_epi64(a.l[0], b.l[0]);
+  __m512i b0 = _mm512_srli_epi64(t0, 63);
+  t0 = _mm512_and_epi64(t0, m52);
+  __m512i t1 = _mm512_sub_epi64(_mm512_sub_epi64(a.l[1], b.l[1]), b0);
+  __m512i b1 = _mm512_srli_epi64(t1, 63);
+  t1 = _mm512_and_epi64(t1, m52);
+  __m512i t2 = _mm512_sub_epi64(_mm512_sub_epi64(a.l[2], b.l[2]), b1);
+  __m512i b2 = _mm512_srli_epi64(t2, 63);
+  t2 = _mm512_and_epi64(t2, m52);
+  __m512i t3 = _mm512_sub_epi64(_mm512_sub_epi64(a.l[3], b.l[3]), b2);
+  __m512i b3 = _mm512_srli_epi64(t3, 63);
+  t3 = _mm512_and_epi64(t3, m52);
+  __m512i t4 = _mm512_sub_epi64(_mm512_sub_epi64(a.l[4], b.l[4]), b3);
+  __mmask8 neg = _mm512_movepi64_mask(t4);  // borrow out => add p back
+  t4 = _mm512_and_epi64(t4, m52);
+  // u = t + p (only used for neg lanes)
+  __m512i u0 = _mm512_add_epi64(t0, _mm512_set1_epi64((long long)C.p52[0]));
+  __m512i u1 = _mm512_add_epi64(t1, _mm512_set1_epi64((long long)C.p52[1]));
+  __m512i u2 = _mm512_add_epi64(t2, _mm512_set1_epi64((long long)C.p52[2]));
+  __m512i u3 = _mm512_add_epi64(t3, _mm512_set1_epi64((long long)C.p52[3]));
+  __m512i u4 = _mm512_add_epi64(t4, _mm512_set1_epi64((long long)C.p52[4]));
+  __m512i c;
+  c = _mm512_srli_epi64(u0, 52); u0 = _mm512_and_epi64(u0, m52); u1 = _mm512_add_epi64(u1, c);
+  c = _mm512_srli_epi64(u1, 52); u1 = _mm512_and_epi64(u1, m52); u2 = _mm512_add_epi64(u2, c);
+  c = _mm512_srli_epi64(u2, 52); u2 = _mm512_and_epi64(u2, m52); u3 = _mm512_add_epi64(u3, c);
+  c = _mm512_srli_epi64(u3, 52); u3 = _mm512_and_epi64(u3, m52); u4 = _mm512_add_epi64(u4, c);
+  u4 = _mm512_and_epi64(u4, m52);
+  V52 out;
+  out.l[0] = _mm512_mask_blend_epi64(neg, t0, u0);
+  out.l[1] = _mm512_mask_blend_epi64(neg, t1, u1);
+  out.l[2] = _mm512_mask_blend_epi64(neg, t2, u2);
+  out.l[3] = _mm512_mask_blend_epi64(neg, t3, u3);
+  out.l[4] = _mm512_mask_blend_epi64(neg, t4, u4);
+  return out;
+}
+
+#pragma GCC pop_options
+#endif  // __x86_64__
+
 // One pairwise affine-addition round over all bucket segments.
 // bufs alternate between rounds (pair writes would clobber later reads
 // in-place).
@@ -455,23 +752,389 @@ static void msm_pair_rounds(const Ctx& C, size_t nb,
   }
 }
 
+#if defined(__x86_64__)
+#pragma GCC push_options
+#pragma GCC target("avx512f,avx512dq,avx512ifma,avx512vl,avx512bw")
+
+#include <chrono>
+#include <cstdio>
+static double g_t_classify, g_t_fwd, g_t_inv, g_t_bwd, g_t_sort, g_t_bucket, g_t_conv;
+static long g_n_pairs, g_n_rounds;
+
+// IFMA pair-phase scratch: pairs as stashed operands in blocked 8-lane
+// layout (block j, limb l at offset (j*5 + l)*8) plus dst slot indices.
+// Operands are stashed at classify time (scalar, cache-hot) so the vector
+// passes run on aligned loads with no gathers.
+struct IfmaPairScratch {
+  std::vector<uint32_t> dst, alive;
+  std::vector<u64> dens, nums, sx1, sx2, sy1, sy2, pp;
+  std::vector<uint8_t> livemask;
+  void ensure_pairs(size_t np8) {
+    size_t nblk = np8 / 8;
+    if (dst.size() < np8) dst.resize(np8);
+    size_t need = nblk * 40;
+    if (dens.size() < need) {
+      dens.resize(need); nums.resize(need); sx1.resize(need);
+      sx2.resize(need); sy1.resize(need); sy2.resize(need); pp.resize(need);
+    }
+    if (livemask.size() < nblk) livemask.resize(nblk);
+  }
+};
+
+static const int NCHAIN = 4;  // interleaved inversion chains (latency hiding)
+
+// One full tree-reduction (all rounds) of bucket segments, 8 pairs per
+// vector op, one modular inversion per round shared across all pairs via
+// 32 parallel Montgomery chains (4 vector accumulators x 8 lanes).
+// Arrays are (cap,5) row-major 52-limb canonical Montgomery; `dead` flags
+// mark cancelled (P + -P) slots.
+static void msm_pair_rounds_ifma(const Ctx& C, size_t nb,
+                                 std::vector<u64>& ax, std::vector<u64>& ay,
+                                 std::vector<u64>& bx_, std::vector<u64>& by_,
+                                 std::vector<uint8_t>& dead_a,
+                                 std::vector<uint8_t>& dead_b,
+                                 std::vector<uint32_t>& seg_start,
+                                 std::vector<uint32_t>& seg_len,
+                                 IfmaPairScratch& S,
+                                 const u64* base_x, const u64* base_y,
+                                 const u64* base_yneg,
+                                 const uint32_t* slot_src) {
+  const V52 one_vec = v52_bcast(C.one52);
+  // Round 1 sources operands straight from the (pre-negated) base tables
+  // via slot_src, so the counting sort never copies point rows.
+  bool first = true;
+  while (true) {
+    auto tt0 = std::chrono::steady_clock::now();
+    // ---- classify: collect pairs over alive slots, stash operands ----
+    memset(dead_b.data(), 0, dead_b.size());
+    size_t np = 0;
+    u64* nx = bx_.data();
+    u64* ny = by_.data();
+    const u64* cx = ax.data();
+    const u64* cy = ay.data();
+    for (size_t b = 0; b < nb; b++) {
+      uint32_t s = seg_start[b], k = seg_len[b];
+      if (k == 0) continue;
+      size_t m;
+      uint32_t* alive_p;
+      if (first) {
+        m = k;                      // all slots alive in round 1
+        alive_p = NULL;
+      } else {
+        S.alive.clear();
+        for (uint32_t t = 0; t < k; t++)
+          if (!dead_a[s + t]) S.alive.push_back(s + t);
+        m = S.alive.size();
+        alive_p = S.alive.data();
+      }
+      uint32_t out = 0;
+      if (m >= 2) {
+        S.ensure_pairs(((np + m / 2) / 8 + 2) * 8);
+        for (size_t t = 0; t + 1 < m; t += 2) {
+          const u64 *r1, *r2, *q1, *q2;
+          if (first) {
+            uint32_t s1 = slot_src[s + t], s2 = slot_src[s + t + 1];
+            r1 = base_x + 5 * (s1 & 0x7fffffff);
+            q1 = ((s1 >> 31) ? base_yneg : base_y) + 5 * (s1 & 0x7fffffff);
+            r2 = base_x + 5 * (s2 & 0x7fffffff);
+            q2 = ((s2 >> 31) ? base_yneg : base_y) + 5 * (s2 & 0x7fffffff);
+          } else {
+            uint32_t i1 = alive_p[t], i2 = alive_p[t + 1];
+            r1 = cx + 5 * i1;
+            q1 = cy + 5 * i1;
+            r2 = cx + 5 * i2;
+            q2 = cy + 5 * i2;
+          }
+          size_t blk = np / 8, lane = np & 7;
+          u64* bx1 = &S.sx1[blk * 40 + lane];
+          u64* bx2 = &S.sx2[blk * 40 + lane];
+          u64* by1 = &S.sy1[blk * 40 + lane];
+          u64* by2 = &S.sy2[blk * 40 + lane];
+          for (int l = 0; l < 5; l++) {
+            bx1[8 * l] = r1[l];
+            bx2[8 * l] = r2[l];
+            by1[8 * l] = q1[l];
+            by2[8 * l] = q2[l];
+          }
+          S.dst[np] = s + out;
+          np++; out++;
+        }
+      }
+      if (m & 1) {
+        const u64 *rs, *qs;
+        if (first) {
+          uint32_t sl = slot_src[s + m - 1];
+          rs = base_x + 5 * (sl & 0x7fffffff);
+          qs = ((sl >> 31) ? base_yneg : base_y) + 5 * (sl & 0x7fffffff);
+        } else {
+          uint32_t srci = alive_p[m - 1];
+          rs = cx + 5 * srci;
+          qs = cy + 5 * srci;
+        }
+        memcpy(nx + 5 * (s + out), rs, 40);
+        memcpy(ny + 5 * (s + out), qs, 40);
+        out++;
+      }
+      seg_len[b] = out;
+    }
+    first = false;
+    if (np == 0) {
+      std::swap(ax, bx_); std::swap(ay, by_);
+      std::swap(dead_a, dead_b);
+      break;
+    }
+    size_t np8 = (np + 7) & ~(size_t)7;
+    S.ensure_pairs(np8);
+    if (np & 7) {  // pad tail lanes with lane-0 operands of the last block
+      size_t blk = np / 8;
+      for (size_t i = np; i < np8; i++) {
+        size_t lane = i & 7;
+        for (int l = 0; l < 5; l++) {
+          S.sx1[blk * 40 + 8 * l + lane] = S.sx1[blk * 40 + 8 * l];
+          S.sx2[blk * 40 + 8 * l + lane] = S.sx2[blk * 40 + 8 * l];
+          S.sy1[blk * 40 + 8 * l + lane] = S.sy1[blk * 40 + 8 * l];
+          S.sy2[blk * 40 + 8 * l + lane] = S.sy2[blk * 40 + 8 * l];
+        }
+        S.dst[i] = 0;
+      }
+    }
+    size_t nblk = np8 / 8;
+    g_n_pairs += (long)np; g_n_rounds++;
+    g_t_classify += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tt0).count();
+    tt0 = std::chrono::steady_clock::now();
+
+    // ---- forward: lane classification + interleaved prefix chains ----
+    V52 PPc[NCHAIN];
+    for (int t = 0; t < NCHAIN; t++) PPc[t] = one_vec;
+    for (size_t j = 0; j < nblk; j++) {
+      V52 X1 = v52_load_blk(&S.sx1[j * 40]);
+      V52 X2 = v52_load_blk(&S.sx2[j * 40]);
+      V52 Y1 = v52_load_blk(&S.sy1[j * 40]);
+      V52 Y2 = v52_load_blk(&S.sy2[j * 40]);
+      V52 DX = v52_sub(C, X2, X1);
+      V52 DY = v52_sub(C, Y2, Y1);
+      V52 den = DX, num = DY;
+      __mmask8 pad = (j == nblk - 1 && (np & 7))
+                         ? (__mmask8)(0xFF << (np & 7)) : (__mmask8)0;
+      __mmask8 z = v52_iszero(DX);
+      __mmask8 cancel = 0;
+      if (z) {
+        __mmask8 dbl = z & v52_iszero(DY);
+        // pad lanes replicate a real lane's operands; they must NOT mark
+        // their dst (slot 0) dead, so exclude them from `cancel`.
+        cancel = z & (__mmask8)~dbl & (__mmask8)~pad;
+        if (dbl) {
+          V52 twoY = v52_add(C, Y1, Y1);
+          V52 XX = v52_mont_mul(C, X1, X1);
+          V52 thrXX = v52_add(C, v52_add(C, XX, XX), XX);
+          den = v52_blend(dbl, den, twoY);
+          num = v52_blend(dbl, num, thrXX);
+        }
+      }
+      __mmask8 deadlanes = cancel | pad;
+      if (deadlanes) {
+        den = v52_blend(deadlanes, den, one_vec);
+        for (int k2 = 0; k2 < 8; k2++)
+          if ((cancel >> k2) & 1) dead_b[S.dst[8 * j + k2]] = 1;
+      }
+      S.livemask[j] = (uint8_t)~deadlanes;
+      v52_store_blk(&S.dens[j * 40], den);
+      v52_store_blk(&S.nums[j * 40], num);
+      int ch = (int)(j % NCHAIN);
+      PPc[ch] = v52_mont_mul(C, PPc[ch], den);
+      v52_store_blk(&S.pp[j * 40], PPc[ch]);
+    }
+
+    g_t_fwd += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tt0).count();
+    tt0 = std::chrono::steady_clock::now();
+    // ---- per-lane chain-total inverses (scalar, once per round) ----
+    {
+      int nch = (int)(nblk < (size_t)NCHAIN ? nblk : (size_t)NCHAIN);
+      int total = 8 * nch;
+      u64 T[8 * NCHAIN][5], q[8 * NCHAIN][5];
+      u64 buf[40];
+      for (int t = 0; t < nch; t++) {
+        v52_store_blk(buf, PPc[t]);
+        for (int k2 = 0; k2 < 8; k2++)
+          for (int l = 0; l < 5; l++) T[t * 8 + k2][l] = buf[l * 8 + k2];
+      }
+      memcpy(q[0], T[0], 40);
+      for (int k2 = 1; k2 < total; k2++) s52_mont_mul(C, q[k2 - 1], T[k2], q[k2]);
+      u64 g64[4], gm64[4], gi[4], gin[4], inv52[5];
+      s52_from_mont(C, q[total - 1], g64);
+      fp_to_mont(C, g64, gm64);
+      fp_inv(C, gm64, gi);
+      fp_from_mont(C, gi, gin);
+      s52_to_mont(C, gin, inv52);
+      u64 invT[8 * NCHAIN][5];
+      for (int k2 = total - 1; k2 >= 0; k2--) {
+        if (k2 > 0) s52_mont_mul(C, inv52, q[k2 - 1], invT[k2]);
+        else memcpy(invT[0], inv52, 40);
+        s52_mont_mul(C, inv52, T[k2], inv52);
+      }
+      for (int t = 0; t < nch; t++) {
+        for (int k2 = 0; k2 < 8; k2++)
+          for (int l = 0; l < 5; l++) buf[l * 8 + k2] = invT[t * 8 + k2][l];
+        PPc[t] = v52_load_blk(buf);  // reuse as inv_cum per chain
+      }
+    }
+
+    g_t_inv += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tt0).count();
+    tt0 = std::chrono::steady_clock::now();
+    // ---- backward: per-pair inverses, complete the adds ----
+    for (size_t j = nblk; j-- > 0;) {
+      int ch = (int)(j % NCHAIN);
+      V52 den = v52_load_blk(&S.dens[j * 40]);
+      V52 PPprev = (j >= (size_t)NCHAIN) ? v52_load_blk(&S.pp[(j - NCHAIN) * 40])
+                                         : one_vec;
+      V52 dinv = v52_mont_mul(C, PPc[ch], PPprev);
+      PPc[ch] = v52_mont_mul(C, PPc[ch], den);
+      V52 num = v52_load_blk(&S.nums[j * 40]);
+      V52 X1 = v52_load_blk(&S.sx1[j * 40]);
+      V52 X2 = v52_load_blk(&S.sx2[j * 40]);
+      V52 Y1 = v52_load_blk(&S.sy1[j * 40]);
+      V52 lam = v52_mont_mul(C, num, dinv);
+      V52 L2 = v52_mont_mul(C, lam, lam);
+      V52 X3 = v52_sub(C, v52_sub(C, L2, X1), X2);
+      V52 Tt = v52_sub(C, X1, X3);
+      V52 Y3 = v52_sub(C, v52_mont_mul(C, lam, Tt), Y1);
+      __mmask8 live = S.livemask[j];
+      v52_scatter(nx, &S.dst[8 * j], X3, live);
+      v52_scatter(ny, &S.dst[8 * j], Y3, live);
+    }
+    g_t_bwd += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tt0).count();
+    std::swap(ax, bx_); std::swap(ay, by_);
+    std::swap(dead_a, dead_b);
+  }
+}
+
+// Full window loop for the IFMA path: points live as (n,5) 52-limb
+// canonical Montgomery rows end to end; buckets convert to the 64-limb
+// Jacobian domain only for the final running/weighted reduction.
+static void msm_windows_ifma(Ctx* C, const std::vector<u64>& xs_n,
+                             const std::vector<u64>& ys_n, size_t live,
+                             const std::vector<int16_t>& digits, int W, int c,
+                             size_t nb, Jac& total) {
+  bool prof = getenv("NOVA_MSM_PROF") != NULL;
+  g_t_classify = g_t_fwd = g_t_inv = g_t_bwd = g_t_sort = g_t_bucket = g_t_conv = 0;
+  g_n_pairs = g_n_rounds = 0;
+  auto tc0 = std::chrono::steady_clock::now();
+  // 52-limb split (scalar shifts) + vectorized to-Montgomery (x, -y premul)
+  std::vector<u64> mx52(5 * live), my52(5 * live), myneg52(5 * live);
+  {
+    u64 buf[40];
+    const V52 rr = v52_bcast(C->rr52);
+    for (int coord = 0; coord < 2; coord++) {
+      const std::vector<u64>& srcv = coord ? ys_n : xs_n;
+      std::vector<u64>& dstv = coord ? my52 : mx52;
+      for (size_t i0 = 0; i0 < live; i0 += 8) {
+        size_t cnt = live - i0 < 8 ? live - i0 : 8;
+        for (size_t k = 0; k < cnt; k++) {
+          u64 t52[5];
+          limbs64_to_52(&srcv[4 * (i0 + k)], t52);
+          for (int l = 0; l < 5; l++) buf[8 * l + k] = t52[l];
+        }
+        for (size_t k = cnt; k < 8; k++)
+          for (int l = 0; l < 5; l++) buf[8 * l + k] = 0;
+        V52 v = v52_mont_mul(*C, v52_load_blk(buf), rr);
+        v52_store_blk(buf, v);
+        for (size_t k = 0; k < cnt; k++)
+          for (int l = 0; l < 5; l++) dstv[5 * (i0 + k) + l] = buf[8 * l + k];
+      }
+    }
+    const u64 zero52[5] = {0, 0, 0, 0, 0};
+    for (size_t i = 0; i < live; i++)
+      s52_sub(*C, zero52, &my52[5 * i], &myneg52[5 * i]);
+  }
+  g_t_conv += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tc0).count();
+  std::vector<u64> ax(5 * live), ay(5 * live), bxx(5 * live), byy(5 * live);
+  std::vector<uint8_t> dead_a(live), dead_b(live);
+  std::vector<uint32_t> seg_start(nb), seg_len(nb), cursor(nb), slot_src(live);
+  IfmaPairScratch scratch;
+  for (int w = W - 1; w >= 0; w--) {
+    for (int d = 0; d < c; d++) jac_dbl(*C, total, total);
+    auto tw0 = std::chrono::steady_clock::now();
+    std::fill(seg_len.begin(), seg_len.end(), 0);
+    for (size_t i = 0; i < live; i++) {
+      int d = digits[(size_t)i * W + w];
+      if (d) seg_len[(d < 0 ? -d : d) - 1]++;
+    }
+    uint32_t acc_off = 0;
+    for (size_t b = 0; b < nb; b++) {
+      seg_start[b] = acc_off;
+      cursor[b] = acc_off;
+      acc_off += seg_len[b];
+    }
+    memset(dead_a.data(), 0, live);
+    for (size_t i = 0; i < live; i++) {
+      int d = digits[(size_t)i * W + w];
+      if (!d) continue;
+      uint32_t b = (uint32_t)((d < 0 ? -d : d) - 1);
+      slot_src[cursor[b]++] = (uint32_t)i | (d < 0 ? 0x80000000u : 0);
+    }
+    g_t_sort += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tw0).count();
+    msm_pair_rounds_ifma(*C, nb, ax, ay, bxx, byy, dead_a, dead_b,
+                         seg_start, seg_len, scratch,
+                         mx52.data(), my52.data(), myneg52.data(),
+                         slot_src.data());
+    tw0 = std::chrono::steady_clock::now();
+    Jac running, wsum;
+    jac_set_identity(running);
+    jac_set_identity(wsum);
+    for (size_t b = nb; b-- > 0;) {
+      uint32_t s = seg_start[b], k = seg_len[b];
+      for (uint32_t t = 0; t < k; t++) {
+        if (dead_a[s + t]) continue;
+        u64 x64[4], y64[4], xm[4], ym[4];
+        s52_from_mont(*C, &ax[5 * (s + t)], x64);
+        s52_from_mont(*C, &ay[5 * (s + t)], y64);
+        fp_to_mont(*C, x64, xm);
+        fp_to_mont(*C, y64, ym);
+        jac_madd(*C, running, xm, ym, false, running);
+        break;
+      }
+      jac_add(*C, wsum, running, wsum);
+    }
+    jac_add(*C, total, wsum, total);
+    g_t_bucket += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tw0).count();
+  }
+  if (prof)
+    fprintf(stderr,
+            "[msm_ifma] conv %.1f sort %.1f classify %.1f fwd %.1f inv %.1f "
+            "bwd %.1f bucket %.1f ms; pairs %ld rounds %ld\n",
+            g_t_conv, g_t_sort, g_t_classify, g_t_fwd, g_t_inv, g_t_bwd,
+            g_t_bucket, g_n_pairs, g_n_rounds);
+}
+
+#pragma GCC pop_options
+
+static bool ifma_available() {
+  static int ok = -1;
+  if (ok < 0)
+    ok = (__builtin_cpu_supports("avx512ifma") &&
+          __builtin_cpu_supports("avx512vl") &&
+          __builtin_cpu_supports("avx512dq") &&
+          getenv("NOVA_NO_IFMA") == NULL) ? 1 : 0;
+  return ok == 1;
+}
+#else
+static bool ifma_available() { return false; }
+#endif  // __x86_64__
+
 // Core MSM over selected bases. idx == NULL selects bases 0..n-1.
 static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
                      const u64* scalars, const uint32_t* idx, size_t n,
                      u64 out_x[4], u64 out_y[4], uint8_t* out_inf) {
-  // gather live (non-infinity, nonzero-scalar) points; Montgomery convert
-  std::vector<u64> mx, my, sc;
-  mx.reserve(4 * n); my.reserve(4 * n); sc.reserve(4 * n);
+  // gather live (non-infinity, nonzero-scalar) points in NORMAL form
+  std::vector<u64> gx, gy, sc;
+  gx.reserve(4 * n); gy.reserve(4 * n); sc.reserve(4 * n);
   for (size_t i = 0; i < n; i++) {
     size_t src = idx ? idx[i] : i;
     const u64* k = scalars + 4 * i;
     if (inf[src]) continue;
     if ((k[0] | k[1] | k[2] | k[3]) == 0) continue;
-    u64 m[4];
-    fp_to_mont(*C, xs + 4 * src, m);
-    mx.insert(mx.end(), m, m + 4);
-    fp_to_mont(*C, ys + 4 * src, m);
-    my.insert(my.end(), m, m + 4);
+    gx.insert(gx.end(), xs + 4 * src, xs + 4 * src + 4);
+    gy.insert(gy.end(), ys + 4 * src, ys + 4 * src + 4);
     sc.insert(sc.end(), k, k + 4);
   }
   size_t live = sc.size() / 4;
@@ -481,13 +1144,17 @@ static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
     return;
   }
 
-  // pick window size minimizing the mul-count model:
-  //   stage1 ~ live*W*6.2, bucket sums ~ 2^(c-1)*W*27
+  // pick window size minimizing the measured-cost model (ns):
+  //   IFMA:   stage1 ~ live*W*130,  bucket chain ~ 2^(c-1)*W*3000
+  //   scalar: stage1 ~ live*W*500,  bucket chain ~ 2^(c-1)*W*810
+  bool ifma = ifma_available();
+  double k_pair = ifma ? 100.0 : 500.0;
+  double k_bkt = ifma ? 1700.0 : 810.0;
   int c_best = 4;
   double cost_best = 1e300;
   for (int c = 4; c <= 15; c++) {
     int W = (256 + c - 1) / c + 1;
-    double cost = 6.2 * (double)live * W + 27.0 * (double)(1 << (c - 1)) * W;
+    double cost = k_pair * (double)live * W + k_bkt * (double)(1 << (c - 1)) * W;
     if (cost < cost_best) { cost_best = cost; c_best = c; }
   }
   int c = c_best;
@@ -514,6 +1181,27 @@ static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
       if (d > half) { d -= (1 << c); carry = 1; } else carry = 0;
       digits[(size_t)i * W + w] = (int16_t)d;
     }
+  }
+
+  Jac total_ifma;
+  if (ifma_available()) {
+    jac_set_identity(total_ifma);
+    msm_windows_ifma(C, gx, gy, live, digits, W, c, nb, total_ifma);
+    if (jac_is_identity(total_ifma)) {
+      *out_inf = 1;
+      memset(out_x, 0, 32); memset(out_y, 0, 32);
+      return;
+    }
+    std::vector<Jac> one_v(1, total_ifma);
+    batch_to_affine(*C, one_v, out_x, out_y, out_inf);
+    return;
+  }
+
+  // scalar fallback path: Montgomery-convert the gathered points
+  std::vector<u64> mx(4 * live), my(4 * live);
+  for (size_t i = 0; i < live; i++) {
+    fp_to_mont(*C, &gx[4 * i], &mx[4 * i]);
+    fp_to_mont(*C, &gy[4 * i], &my[4 * i]);
   }
 
   // window scratch (double-buffered for the pair rounds)
@@ -603,6 +1291,36 @@ Ctx* ctx_new(const u64 p[4]) {
     if (carry || !borrow) memcpy(r2, t3, 32); else memcpy(r2, t2, 32);
   }
   memcpy(C->r2, r2, 32);
+  // 52-bit-limb mirror
+  limbs64_to_52(C->p, C->p52);
+  {
+    u64 x2 = 1;
+    for (int i = 0; i < 6; i++) x2 = x2 * (2 - C->p52[0] * x2);
+    C->k052 = (u64)(0 - x2) & MASK52;
+    u64 one[5] = {1, 0, 0, 0, 0};
+    auto dbl_mod52 = [&](u64 v[5]) {
+      u128 c = 0;
+      for (int i = 0; i < 5; i++) {
+        c += ((u128)v[i]) << 1;
+        v[i] = (u64)(c & MASK52);
+        c >>= 52;
+      }
+      long long borrow = 0;
+      u64 t52[5];
+      for (int i = 0; i < 5; i++) {
+        long long d = (long long)v[i] - (long long)C->p52[i] + borrow;
+        t52[i] = (u64)d & MASK52;
+        borrow = d < 0 ? -1 : 0;
+      }
+      if (borrow == 0) memcpy(v, t52, 40);
+    };
+    for (int i = 0; i < 260; i++) dbl_mod52(one);
+    memcpy(C->one52, one, 40);
+    u64 rr[5];
+    memcpy(rr, one, 40);
+    for (int i = 0; i < 260; i++) dbl_mod52(rr);
+    memcpy(C->rr52, rr, 40);
+  }
   // n0inv = -p^{-1} mod 2^64 (Newton iteration)
   u64 pinv = C->p[0];           // p odd: p^{-1} mod 2 is 1; iterate
   for (int i = 0; i < 6; i++) pinv *= 2 - C->p[0] * pinv;
