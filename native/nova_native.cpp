@@ -1144,21 +1144,35 @@ static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
     return;
   }
 
+  // max scalar bit-width: small-valued vectors (Spark oracles, counts,
+  // bit decompositions; reference msm_small, src/provider/msm.rs:469) get
+  // proportionally fewer windows.
+  int max_bits = 0;
+  for (size_t i = 0; i < live; i++) {
+    const u64* k = &sc[4 * i];
+    for (int limb = 3; limb >= 0; limb--) {
+      if (k[limb]) {
+        int b = limb * 64 + 64 - __builtin_clzll(k[limb]);
+        if (b > max_bits) max_bits = b;
+        break;
+      }
+    }
+  }
+  if (max_bits == 0) max_bits = 1;
+
   // pick window size minimizing the measured-cost model (ns):
-  //   IFMA:   stage1 ~ live*W*130,  bucket chain ~ 2^(c-1)*W*3000
-  //   scalar: stage1 ~ live*W*500,  bucket chain ~ 2^(c-1)*W*810
   bool ifma = ifma_available();
   double k_pair = ifma ? 100.0 : 500.0;
   double k_bkt = ifma ? 1700.0 : 810.0;
   int c_best = 4;
   double cost_best = 1e300;
   for (int c = 4; c <= 15; c++) {
-    int W = (256 + c - 1) / c + 1;
+    int W = (max_bits + c - 1) / c + 1;
     double cost = k_pair * (double)live * W + k_bkt * (double)(1 << (c - 1)) * W;
     if (cost < cost_best) { cost_best = cost; c_best = c; }
   }
   int c = c_best;
-  int W = (256 + c - 1) / c + 1;
+  int W = (max_bits + c - 1) / c + 1;
   size_t nb = (size_t)1 << (c - 1);
   int half = 1 << (c - 1);
   u64 mask = ((u64)1 << c) - 1;

@@ -23,6 +23,8 @@ from nova_tpu.spartan.snark import RelaxedR1CSSNARK
 class CompressedProverKey:
     pk_primary: object
     pk_secondary: object
+    S1: object = None  # SNARK class used at setup (binds prove to setup)
+    S2: object = None
 
 
 @dataclass
@@ -54,7 +56,9 @@ class CompressedSNARK:
         pk_secondary, vk_secondary = S2.setup(
             pp.engine2, pp.ck_secondary, pp.r1cs_shape_secondary, ee=ee2
         )
-        pk = CompressedProverKey(pk_primary, pk_secondary)
+        # the key remembers its SNARK classes so prove() can't silently
+        # disagree with setup (nova/mod.rs ties them by type parameter)
+        pk = CompressedProverKey(pk_primary, pk_secondary, S1, S2)
         vk = CompressedVerifierKey(
             F_arity=pp.F_arity,
             pp_digest=pp.digest(),
@@ -75,8 +79,8 @@ class CompressedSNARK:
         S1=None,
         S2=None,
     ) -> "CompressedSNARK":
-        S1 = S1 or RelaxedR1CSSNARK
-        S2 = S2 or RelaxedR1CSSNARK
+        S1 = S1 or getattr(pk, "S1", None) or RelaxedR1CSSNARK
+        S2 = S2 or getattr(pk, "S2", None) or RelaxedR1CSSNARK
         e1, e2 = pp.engine1, pp.engine2
 
         # fold secondary U/W with secondary u/w to get Uf/Wf
