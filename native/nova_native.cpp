@@ -1391,6 +1391,124 @@ void vec_fold(Ctx* C, const u64* a, const u64* b, const u64 r1[4],
   }
 }
 
+// Batch modular inverse via the Montgomery product trick: ~3 muls per
+// element plus ONE Fermat inversion (src/spartan/mod.rs:54-117 analog).
+// Zero entries map to zero (callers guarantee nonzero or tolerate 0).
+void vec_batch_inv(Ctx* C, const u64* a, u64* out, size_t n) {
+  std::vector<u64> prefix(4 * (n + 1));
+  memcpy(&prefix[0], C->r1, 32);
+  std::vector<uint8_t> nz(n);
+  u64 am[4];
+  for (size_t i = 0; i < n; i++) {
+    const u64* ai = a + 4 * i;
+    nz[i] = !fp_is_zero(ai);
+    if (nz[i]) {
+      fp_to_mont(*C, ai, am);
+      fp_mul(*C, &prefix[4 * i], am, &prefix[4 * (i + 1)]);
+    } else {
+      memcpy(&prefix[4 * (i + 1)], &prefix[4 * i], 32);
+    }
+  }
+  u64 acc[4];
+  fp_inv(*C, &prefix[4 * n], acc);
+  for (size_t i = n; i-- > 0;) {
+    if (!nz[i]) {
+      memset(out + 4 * i, 0, 32);
+      continue;
+    }
+    u64 t[4];
+    fp_mul(*C, acc, &prefix[4 * i], t);      // Montgomery form of a_i^{-1}
+    fp_from_mont(*C, t, out + 4 * i);
+    fp_to_mont(*C, a + 4 * i, am);
+    fp_mul(*C, acc, am, acc);
+  }
+}
+
+// CSR sparse-matrix x vector. data_mont: nnz Montgomery-form coeffs;
+// cls: 0 general, 1 (+1), 2 (-1) — the reference's PrecomputedSparseMatrix
+// coefficient classes (src/r1cs/sparse.rs:19-107) collapse +-1 to add/sub.
+// z: normal form. out: normal canonical.
+void spmv(Ctx* C, const u64* data_mont, const uint8_t* cls,
+          const uint32_t* indices, const uint32_t* indptr, size_t rows,
+          const u64* z, u64* out) {
+  for (size_t r = 0; r < rows; r++) {
+    u64 acc[4] = {0, 0, 0, 0};
+    for (uint32_t k = indptr[r]; k < indptr[r + 1]; k++) {
+      const u64* zz = z + 4 * (size_t)indices[k];
+      if (cls[k] == 1) {
+        fp_add(*C, acc, zz, acc);
+      } else if (cls[k] == 2) {
+        fp_sub(*C, acc, zz, acc);
+      } else {
+        u64 t[4];
+        fp_mul(*C, data_mont + 4 * (size_t)k, zz, t);  // mont*normal = normal
+        fp_add(*C, acc, t, acc);
+      }
+    }
+    memcpy(out + 4 * r, acc, 32);
+  }
+}
+
+// Cross-term: out = az*bz - u*cz - e (all normal form), the fold T vector
+// (src/r1cs/mod.rs:569-575).
+void vec_cross(Ctx* C, const u64* az, const u64* bz, const u64* cz,
+               const u64* e, const u64 u[4], u64* out, size_t n) {
+  u64 um[4];
+  fp_to_mont(*C, u, um);
+  for (size_t i = 0; i < n; i++) {
+    u64 ab[4], am[4], uc[4];
+    fp_to_mont(*C, az + 4 * i, am);
+    fp_mul(*C, am, bz + 4 * i, ab);      // az*bz normal
+    fp_mul(*C, um, cz + 4 * i, uc);      // u*cz normal
+    fp_sub(*C, ab, uc, ab);
+    fp_sub(*C, ab, e + 4 * i, ab);
+    memcpy(out + 4 * i, ab, 32);
+  }
+}
+
+// Relaxed cross-term: out = az1*bz2 + az2*bz1 - u1*cz2 - u2*cz1 - e1 - e2
+void vec_cross_relaxed(Ctx* C, const u64* az1, const u64* bz1, const u64* cz1,
+                       const u64* az2, const u64* bz2, const u64* cz2,
+                       const u64* e1, const u64* e2,
+                       const u64 u1[4], const u64 u2[4], u64* out, size_t n) {
+  u64 u1m[4], u2m[4];
+  fp_to_mont(*C, u1, u1m);
+  fp_to_mont(*C, u2, u2m);
+  for (size_t i = 0; i < n; i++) {
+    u64 t1[4], t2[4], m[4];
+    fp_to_mont(*C, az1 + 4 * i, m);
+    fp_mul(*C, m, bz2 + 4 * i, t1);
+    fp_to_mont(*C, az2 + 4 * i, m);
+    fp_mul(*C, m, bz1 + 4 * i, t2);
+    fp_add(*C, t1, t2, t1);
+    fp_mul(*C, u1m, cz2 + 4 * i, t2);
+    fp_sub(*C, t1, t2, t1);
+    fp_mul(*C, u2m, cz1 + 4 * i, t2);
+    fp_sub(*C, t1, t2, t1);
+    fp_sub(*C, t1, e1 + 4 * i, t1);
+    fp_sub(*C, t1, e2 + 4 * i, t1);
+    memcpy(out + 4 * i, t1, 32);
+  }
+}
+
+// R1CS satisfiability residual: nonzero count of az*bz - u*cz - e
+size_t vec_sat_check(Ctx* C, const u64* az, const u64* bz, const u64* cz,
+                     const u64* e, const u64 u[4], size_t n) {
+  u64 um[4];
+  fp_to_mont(*C, u, um);
+  size_t bad = 0;
+  for (size_t i = 0; i < n; i++) {
+    u64 ab[4], am[4], uc[4];
+    fp_to_mont(*C, az + 4 * i, am);
+    fp_mul(*C, am, bz + 4 * i, ab);
+    fp_mul(*C, um, cz + 4 * i, uc);
+    fp_sub(*C, ab, uc, ab);
+    fp_sub(*C, ab, e + 4 * i, ab);
+    if (!fp_is_zero(ab)) bad++;
+  }
+  return bad;
+}
+
 // out = sum_i a_i * b_i mod p
 void vec_dot(Ctx* C, const u64* a, const u64* b, u64 out[4], size_t n) {
   u64 acc[4] = {0, 0, 0, 0};

@@ -56,6 +56,13 @@ def _build() -> Optional[ctypes.CDLL]:
         ("vec_invmod", [u64p, u64p, ctypes.c_size_t]),
         ("vec_fold", [u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_dot", [u64p, u64p, u64p, ctypes.c_size_t]),
+        ("spmv", [u64p, u8p, ctypes.POINTER(ctypes.c_uint32),
+                  ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t, u64p, u64p]),
+        ("vec_cross", [u64p, u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_cross_relaxed", [u64p, u64p, u64p, u64p, u64p, u64p, u64p, u64p,
+                               u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_sat_check", [u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
+        ("vec_batch_inv", [u64p, u64p, ctypes.c_size_t]),
         ("msm", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
         ("msm_idx", [u64p, u64p, u8p, u64p,
                      ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
@@ -292,6 +299,119 @@ def vec_fold_l(p: int, aa: np.ndarray, bb: np.ndarray, r1: int, r2: int) -> np.n
     out = np.zeros((n, 4), dtype=np.uint64)
     lib.vec_fold(ctx, _ptr64(aa), _ptr64(bb), _ptr64(rr1), _ptr64(rr2), _ptr64(out), n)
     return out
+
+
+def vec_addmod_l(p: int, aa: np.ndarray, bb: np.ndarray) -> np.ndarray:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = aa.shape[0]
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vec_addmod(ctx, _ptr64(np.ascontiguousarray(aa)),
+                   _ptr64(np.ascontiguousarray(bb)), _ptr64(out), n)
+    return out
+
+
+def vec_axpy_l(p: int, aa: np.ndarray, bb: np.ndarray, s: int) -> np.ndarray:
+    """out = a + s*b elementwise."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = aa.shape[0]
+    out = np.zeros((n, 4), dtype=np.uint64)
+    ss = ints_to_limbs([s % p])
+    lib.vec_axpy(ctx, _ptr64(np.ascontiguousarray(aa)),
+                 _ptr64(np.ascontiguousarray(bb)), _ptr64(ss), _ptr64(out), n)
+    return out
+
+
+def _u32arr(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.uint32))
+
+
+def marshal_matrix(p: int, data, indices, indptr):
+    """One-time native rep of a CSR matrix: Montgomery-form coefficients
+    with +-1 coefficient classes (reference PrecomputedSparseMatrix,
+    src/r1cs/sparse.rs:19-107)."""
+    r1 = pow(2, 256, p)
+    dl = ints_to_limbs([x % p for x in data])
+    dm = vec_mulmod_l(p, dl, ints_to_limbs([r1] * len(data)))
+    cls = np.zeros(len(data), dtype=np.uint8)
+    for i, x in enumerate(data):
+        v = x % p
+        if v == 1:
+            cls[i] = 1
+        elif v == p - 1:
+            cls[i] = 2
+    return (dm, cls, _u32arr(indices), _u32arr(indptr), len(indptr) - 1)
+
+
+def spmv_l(p: int, cache, z: np.ndarray) -> np.ndarray:
+    dm, cls, idx, ptr, rows = cache
+    ctx = _ctx(p)
+    lib = _get_lib()
+    z = np.ascontiguousarray(z)
+    out = np.zeros((rows, 4), dtype=np.uint64)
+    lib.spmv(ctx, _ptr64(dm), _ptr8(cls),
+             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+             ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+             rows, _ptr64(z), _ptr64(out))
+    return out
+
+
+def vec_cross_l(p: int, az, bz, cz, e, u: int) -> np.ndarray:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = az.shape[0]
+    out = np.zeros((n, 4), dtype=np.uint64)
+    uu = ints_to_limbs([u % p])
+    lib.vec_cross(ctx, _ptr64(np.ascontiguousarray(az)),
+                  _ptr64(np.ascontiguousarray(bz)),
+                  _ptr64(np.ascontiguousarray(cz)),
+                  _ptr64(np.ascontiguousarray(e)), _ptr64(uu), _ptr64(out), n)
+    return out
+
+
+def vec_cross_relaxed_l(p: int, az1, bz1, cz1, az2, bz2, cz2, e1, e2,
+                        u1: int, u2: int) -> np.ndarray:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = az1.shape[0]
+    out = np.zeros((n, 4), dtype=np.uint64)
+    uu1 = ints_to_limbs([u1 % p])
+    uu2 = ints_to_limbs([u2 % p])
+    args = [np.ascontiguousarray(a) for a in (az1, bz1, cz1, az2, bz2, cz2, e1, e2)]
+    lib.vec_cross_relaxed(ctx, *[_ptr64(a) for a in args],
+                          _ptr64(uu1), _ptr64(uu2), _ptr64(out), n)
+    return out
+
+
+def vec_batch_inv_l(p: int, aa: np.ndarray) -> np.ndarray:
+    """Batch modular inverse ((n,4) limbs in/out); zeros map to zero."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    n = aa.shape[0]
+    out = np.zeros((n, 4), dtype=np.uint64)
+    lib.vec_batch_inv(ctx, _ptr64(np.ascontiguousarray(aa)), _ptr64(out), n)
+    return out
+
+
+def batch_inv_ints(p: int, vals) -> list:
+    """Batch inverse on Python ints via the native kernel."""
+    aa = ints_to_limbs([v % p for v in vals])
+    return limbs_to_ints(vec_batch_inv_l(p, aa))
+
+
+def vec_sat_check_l(p: int, az, bz, cz, e, u: int) -> int:
+    """Count of rows where az*bz - u*cz - e != 0."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    lib.vec_sat_check.restype = ctypes.c_size_t
+    n = az.shape[0]
+    uu = ints_to_limbs([u % p])
+    return int(lib.vec_sat_check(ctx, _ptr64(np.ascontiguousarray(az)),
+                                 _ptr64(np.ascontiguousarray(bz)),
+                                 _ptr64(np.ascontiguousarray(cz)),
+                                 _ptr64(np.ascontiguousarray(e)),
+                                 _ptr64(uu), n))
 
 
 def vec_dot_l(p: int, aa: np.ndarray, bb: np.ndarray) -> int:

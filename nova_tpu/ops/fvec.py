@@ -108,6 +108,20 @@ class FVec:
             self._ints = self.jf.unpack(_from_mont_k(self.jf.spec.p, self.m))
         return self._ints
 
+    def limbs64(self) -> "np.ndarray":
+        """(n, 4) uint64 little-endian normal-form limbs (the host-native
+        kernels' boundary format), cached."""
+        l64 = getattr(self, "_limbs64", None)
+        if l64 is None:
+            a = np.asarray(
+                jax.device_get(_from_mont_k(self.jf.spec.p, self.m))
+            ).astype(np.uint64)
+            l64 = (a[:, 0::4] | (a[:, 1::4] << 16)
+                   | (a[:, 2::4] << 32) | (a[:, 3::4] << 48))
+            l64 = np.ascontiguousarray(l64)
+            object.__setattr__(self, "_limbs64", l64)
+        return l64
+
     # -- Sequence protocol ---------------------------------------------
 
     def __len__(self) -> int:

@@ -17,6 +17,7 @@ import numpy as np
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
+from nova_tpu import native
 from nova_tpu.constants import DEVICE_THRESHOLD
 from nova_tpu.ops import device_ok as _device_ok
 from nova_tpu.curves.msm_host import msm as host_msm
@@ -107,10 +108,13 @@ class CommitmentKey:
     # split/combine/fold/scale for IPA (CommitmentKeyExtTrait,
     # src/provider/pedersen.rs:431-529)
     def split_at(self, n: int):
-        return (
-            CommitmentKey(self.curve, self.ck[:n], self.h),
-            CommitmentKey(self.curve, self.ck[n:], self.h),
-        )
+        left = CommitmentKey(self.curve, self.ck[:n], self.h)
+        # the left piece is a prefix: the marshalled-array caches remain
+        # valid for it, so share them instead of re-marshalling per call
+        arrs = getattr(self, "_host_arrays", None)
+        if arrs is not None and arrs[0].shape[0] >= n:
+            object.__setattr__(left, "_host_arrays", arrs)
+        return (left, CommitmentKey(self.curve, self.ck[n:], self.h))
 
     def combine(self, other: "CommitmentKey") -> "CommitmentKey":
         return CommitmentKey(self.curve, self.ck + other.ck, self.h)
@@ -266,6 +270,7 @@ class CommitmentEngine:
 
     @staticmethod
     def commit(ck: CommitmentKey, v: Sequence[int], r: int = 0) -> Commitment:
+        from nova_tpu import native
         from nova_tpu.constants import FOLD_DEVICE_THRESHOLD
         from nova_tpu.ops.fvec import FVec
 
@@ -287,8 +292,27 @@ class CommitmentEngine:
             acc = msm_device2(
                 list(v), device_bases=ck.device_bases2(len(v)), reuse=True
             )
+        elif native.available() and len(v) >= 16:
+            acc = native.msm_cached(ck.curve, ck.host_arrays(len(v)), list(v))
         else:
             acc = host_msm(list(v), ck.ck[: len(v)])
+        if r:
+            acc = acc.add(ck.h.mul(r))
+        return Commitment(acc)
+
+    @staticmethod
+    def commit_limbs(ck: CommitmentKey, vl, r: int = 0) -> Commitment:
+        """Commit to a vector given as (n,4) uint64 normal-form limbs (the
+        host-native kernels' boundary format); avoids Python-int round
+        trips on the fold hot path."""
+        from nova_tpu import native
+
+        n = vl.shape[0]
+        assert len(ck.ck) >= n
+        if native.available():
+            acc = native.msm_cached(ck.curve, ck.host_arrays(n), vl)
+        else:
+            acc = host_msm(native.limbs_to_ints(vl), ck.ck[:n])
         if r:
             acc = acc.add(ck.h.mul(r))
         return Commitment(acc)
@@ -315,7 +339,15 @@ class CommitmentEngine:
         """Commit over a generator sub-range (pedersen.rs:285-315)."""
         bases = ck.ck[range_.start : range_.stop]
         assert len(bases) >= len(v)
-        acc = host_msm(list(v), bases[: len(v)]) if v else AffinePoint.identity(ck.curve)
+        if not v:
+            acc = AffinePoint.identity(ck.curve)
+        elif native.available():
+            acc = native.msm_cached(
+                ck.curve, ck.host_arrays(range_.start + len(v)), list(v),
+                indices=list(range(range_.start, range_.start + len(v))),
+            )
+        else:
+            acc = host_msm(list(v), bases[: len(v)])
         if r:
             acc = acc.add(ck.h.mul(r))
         return Commitment(acc)
@@ -341,8 +373,16 @@ class CommitmentEngine:
         ck: CommitmentKey, indices: Sequence[int], scalars: Sequence[int], r: int = 0
     ) -> Commitment:
         assert len(indices) == len(scalars)
-        bases = [ck.ck[i] for i in indices]
-        acc = host_msm(list(scalars), bases) if bases else AffinePoint.identity(ck.curve)
+        if not indices:
+            acc = AffinePoint.identity(ck.curve)
+        elif native.available():
+            acc = native.msm_cached(
+                ck.curve, ck.host_arrays(max(indices) + 1), list(scalars),
+                indices=list(indices),
+            )
+        else:
+            bases = [ck.ck[i] for i in indices]
+            acc = host_msm(list(scalars), bases)
         if r:
             acc = acc.add(ck.h.mul(r))
         return Commitment(acc)

@@ -41,7 +41,7 @@ class SparseMatrix:
     column count.
     """
 
-    __slots__ = ("field", "data", "indices", "indptr", "cols")
+    __slots__ = ("field", "data", "indices", "indptr", "cols", "_native_cache")
 
     def __init__(self, field: FieldSpec, data, indices, indptr, cols):
         self.field = field
@@ -49,6 +49,7 @@ class SparseMatrix:
         self.indices = list(indices)
         self.indptr = list(indptr)
         self.cols = cols
+        self._native_cache = None
 
     @staticmethod
     def new(field: FieldSpec, triples: Sequence[Tuple[int, int, int]], rows: int, cols: int):
@@ -81,7 +82,30 @@ class SparseMatrix:
             for k in range(self.indptr[r], self.indptr[r + 1]):
                 yield (r, self.indices[k], self.data[k])
 
+    def native_cache(self):
+        """Marshalled rep for the native SpMV kernel, built once."""
+        from nova_tpu import native
+
+        nc = getattr(self, "_native_cache", None)
+        if nc is None:
+            nc = native.marshal_matrix(
+                self.field.p, self.data, self.indices, self.indptr
+            )
+            self._native_cache = nc
+        return nc
+
+    def multiply_vec_l(self, z) -> "object":
+        """SpMV on (n,4) uint64 limb arrays via the native kernel."""
+        from nova_tpu import native
+
+        return native.spmv_l(self.field.p, self.native_cache(), z)
+
     def multiply_vec(self, z: Sequence[int]) -> List[int]:
+        from nova_tpu import native
+
+        if native.available() and self.nnz > 512:
+            zl = native.ints_to_limbs([x % self.field.p for x in z])
+            return native.limbs_to_ints(self.multiply_vec_l(zl))
         p = self.field.p
         out = []
         data, indices, indptr = self.data, self.indices, self.indptr
@@ -111,6 +135,16 @@ class SparseMatrix:
             and self.indptr == other.indptr
             and self.cols == other.cols
         )
+
+
+def _vec_limbs(v, p):
+    """(n,4) uint64 normal-form limbs of a witness vector (FVec or ints)."""
+    from nova_tpu import native
+    from nova_tpu.ops.fvec import FVec
+
+    if isinstance(v, FVec):
+        return v.limbs64()
+    return native.ints_to_limbs([x % p for x in v])
 
 
 @dataclass
@@ -150,6 +184,14 @@ class R1CSShape:
         )
 
     # --- SpMV ---
+    def multiply_vec_l(self, zl):
+        """(Az, Bz, Cz) on (n,4) uint64 limbs via the native kernels."""
+        return (
+            self.A.multiply_vec_l(zl),
+            self.B.multiply_vec_l(zl),
+            self.C.multiply_vec_l(zl),
+        )
+
     def multiply_vec(self, z: Sequence[int]):
         if len(z) != self.num_io + self.num_vars + 1:
             raise InvalidWitnessLengthError()
@@ -171,11 +213,25 @@ class R1CSShape:
         assert len(W.E) == self.num_cons
         assert len(U.X) == self.num_io
         p = self.field.p
-        z = list(W.W) + [U.u] + list(U.X)
-        Az, Bz, Cz = self.multiply_vec(z)
-        for i in range(self.num_cons):
-            if Az[i] * Bz[i] % p != (U.u * Cz[i] + W.E[i]) % p:
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            zl = np.vstack([
+                _vec_limbs(W.W, p),
+                native.ints_to_limbs([U.u % p] + [x % p for x in U.X]),
+            ])
+            Az, Bz, Cz = self.multiply_vec_l(zl)
+            bad = native.vec_sat_check_l(p, Az, Bz, Cz, _vec_limbs(W.E, p), U.u)
+            if bad:
                 raise UnSatError("Relaxed R1CS is unsatisfiable")
+        else:
+            z = list(W.W) + [U.u] + list(U.X)
+            Az, Bz, Cz = self.multiply_vec(z)
+            for i in range(self.num_cons):
+                if Az[i] * Bz[i] % p != (U.u * Cz[i] + W.E[i]) % p:
+                    raise UnSatError("Relaxed R1CS is unsatisfiable")
         comm_W = CommitmentEngine.commit(ck, W.W, W.r_W)
         comm_E = CommitmentEngine.commit(ck, W.E, W.r_E)
         if U.comm_W != comm_W or U.comm_E != comm_E:
@@ -185,11 +241,26 @@ class R1CSShape:
         assert len(W.W) == self.num_vars
         assert len(U.X) == self.num_io
         p = self.field.p
-        z = list(W.W) + [1] + list(U.X)
-        Az, Bz, Cz = self.multiply_vec(z)
-        for i in range(self.num_cons):
-            if Az[i] * Bz[i] % p != Cz[i]:
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            zl = np.vstack([
+                _vec_limbs(W.W, p),
+                native.ints_to_limbs([1] + [x % p for x in U.X]),
+            ])
+            Az, Bz, Cz = self.multiply_vec_l(zl)
+            zeros = np.zeros_like(Az)
+            bad = native.vec_sat_check_l(p, Az, Bz, Cz, zeros, 1)
+            if bad:
                 raise UnSatError("R1CS is unsatisfiable")
+        else:
+            z = list(W.W) + [1] + list(U.X)
+            Az, Bz, Cz = self.multiply_vec(z)
+            for i in range(self.num_cons):
+                if Az[i] * Bz[i] % p != Cz[i]:
+                    raise UnSatError("R1CS is unsatisfiable")
         if U.comm_W != CommitmentEngine.commit(ck, W.W, W.r_W):
             raise UnSatError("Invalid commitment")
 
@@ -210,6 +281,21 @@ class R1CSShape:
             T = commit_T_device(self, U1, W1, U2, W2, relaxed=False)
             return T, CommitmentEngine.commit(ck, T, r_T)
         p = self.field.p
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            u = (U1.u + 1) % p
+            Wsum = native.vec_addmod_l(
+                p, _vec_limbs(W1.W, p), _vec_limbs(W2.W, p)
+            )
+            tail = [u] + [(x1 + x2) % p for x1, x2 in zip(U1.X, U2.X)]
+            Z = np.vstack([Wsum, native.ints_to_limbs(tail)])
+            Az, Bz, Cz = self.multiply_vec_l(Z)
+            Tl = native.vec_cross_l(p, Az, Bz, Cz, _vec_limbs(W1.E, p), u)
+            comm_T = CommitmentEngine.commit_limbs(ck, Tl, r_T)
+            return native.limbs_to_ints(Tl), comm_T
         from nova_tpu.ops.fvec import as_list
 
         W1W, W2W, W1E = as_list(W1.W), as_list(W2.W), as_list(W1.E)
@@ -232,6 +318,24 @@ class R1CSShape:
             T = commit_T_device(self, U1, W1, U2, W2, relaxed=True)
             return T, CommitmentEngine.commit(ck, T, r_T)
         p = self.field.p
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            u = (U1.u + U2.u) % p
+            Wsum = native.vec_addmod_l(
+                p, _vec_limbs(W1.W, p), _vec_limbs(W2.W, p)
+            )
+            tail = [u] + [(x1 + x2) % p for x1, x2 in zip(U1.X, U2.X)]
+            Z = np.vstack([Wsum, native.ints_to_limbs(tail)])
+            Az, Bz, Cz = self.multiply_vec_l(Z)
+            Esum = native.vec_addmod_l(
+                p, _vec_limbs(W1.E, p), _vec_limbs(W2.E, p)
+            )
+            Tl = native.vec_cross_l(p, Az, Bz, Cz, Esum, u)
+            comm_T = CommitmentEngine.commit_limbs(ck, Tl, r_T)
+            return native.limbs_to_ints(Tl), comm_T
         from nova_tpu.ops.fvec import as_list
 
         W1W, W2W = as_list(W1.W), as_list(W2.W)

@@ -32,6 +32,12 @@ def batch_invert(field: FieldSpec, v: Sequence[int]) -> List[int]:
     """Montgomery's trick (src/spartan/mod.rs:50-117); errors on zero."""
     p = field.p
     n = len(v)
+    from nova_tpu import native
+
+    if native.available() and n >= 64:
+        if any(x % p == 0 for x in v):
+            raise InternalError("batch_invert of zero element")
+        return native.batch_inv_ints(p, v)
     prods = [0] * n
     acc = 1
     for i in range(n):
