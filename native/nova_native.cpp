@@ -1172,6 +1172,10 @@ static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
     if (cost < cost_best) { cost_best = cost; c_best = c; }
   }
   int c = c_best;
+  if (const char* cenv = getenv("NOVA_MSM_C")) {
+    int cf = atoi(cenv);
+    if (cf >= 2 && cf <= 16) c = cf;
+  }
   int W = (max_bits + c - 1) / c + 1;
   size_t nb = (size_t)1 << (c - 1);
   int half = 1 << (c - 1);
@@ -1389,6 +1393,189 @@ void vec_fold(Ctx* C, const u64* a, const u64* b, const u64 r1[4],
     fp_add(*C, t1, t2, t1);
     fp_from_mont(*C, t1, out + 4 * i);
   }
+}
+
+// eq(r, x) table by doubling (src/spartan/polys/eq.rs evals): for each
+// challenge, every entry e splits into adjacent (e - e*r, e*r).
+void eq_evals(Ctx* C, const u64* r, size_t k, u64* out) {
+  memcpy(out, C->r1, 32);  // start from Montgomery ONE; convert at the end
+  size_t m = 1;
+  for (size_t l = 0; l < k; l++) {
+    u64 rm[4];
+    fp_to_mont(*C, r + 4 * l, rm);
+    for (size_t i = m; i-- > 0;) {
+      u64 hi[4], lo[4];
+      fp_mul(*C, out + 4 * i, rm, hi);
+      fp_sub(*C, out + 4 * i, hi, lo);
+      memcpy(out + 8 * i, lo, 32);
+      memcpy(out + 8 * i + 4, hi, 32);
+    }
+    m <<= 1;
+  }
+  for (size_t i = 0; i < m; i++)
+    fp_from_mont(*C, out + 4 * i, out + 4 * i);
+}
+
+// One round of the cubic eq-sumcheck: evaluation points
+//   e0  = sum elo*(alo*blo - clo)
+//   c3  = sum de*da*db
+//   em1 = sum (elo-de)*((alo-da)*(blo-db) - (clo-dc))
+// with d* = hi - lo (top-variable split). out = 12 limbs (e0, c3, em1).
+void sumcheck_cubic_round(Ctx* C, const u64* E, const u64* A, const u64* B,
+                          const u64* Cv, size_t half, u64* out) {
+  u64 e0[4] = {0,0,0,0}, c3[4] = {0,0,0,0}, em1[4] = {0,0,0,0};
+  for (size_t i = 0; i < half; i++) {
+    const u64 *elo = E + 4*i, *ehi = E + 4*(half+i);
+    const u64 *alo = A + 4*i, *ahi = A + 4*(half+i);
+    const u64 *blo = B + 4*i, *bhi = B + 4*(half+i);
+    const u64 *clo = Cv + 4*i, *chi = Cv + 4*(half+i);
+    u64 am[4], t[4], ab[4];
+    // e0 term
+    fp_to_mont(*C, alo, am);
+    fp_mul(*C, am, blo, ab);          // alo*blo (normal)
+    fp_sub(*C, ab, clo, ab);
+    fp_to_mont(*C, elo, am);
+    fp_mul(*C, am, ab, t);
+    fp_add(*C, e0, t, e0);
+    // deltas
+    u64 de[4], da[4], db[4], dc[4];
+    fp_sub(*C, ehi, elo, de);
+    fp_sub(*C, ahi, alo, da);
+    fp_sub(*C, bhi, blo, db);
+    fp_sub(*C, chi, clo, dc);
+    // c3 term
+    fp_to_mont(*C, de, am);
+    fp_mul(*C, am, da, t);            // de*da normal
+    fp_to_mont(*C, t, am);
+    fp_mul(*C, am, db, t);
+    fp_add(*C, c3, t, c3);
+    // em1 term
+    u64 a1[4], b1[4], c1[4], e1[4];
+    fp_sub(*C, alo, da, a1);
+    fp_sub(*C, blo, db, b1);
+    fp_sub(*C, clo, dc, c1);
+    fp_sub(*C, elo, de, e1);
+    fp_to_mont(*C, a1, am);
+    fp_mul(*C, am, b1, ab);
+    fp_sub(*C, ab, c1, ab);
+    fp_to_mont(*C, e1, am);
+    fp_mul(*C, am, ab, t);
+    fp_add(*C, em1, t, em1);
+  }
+  memcpy(out, e0, 32);
+  memcpy(out + 4, c3, 32);
+  memcpy(out + 8, em1, 32);
+}
+
+// One round of the cubic PRODUCT sumcheck (no eq):
+//   e0 = sum alo*blo*clo, c3 = sum da*db*dc,
+//   em1 = sum (alo-da)*(blo-db)*(clo-dc). out = 12 limbs.
+void sumcheck_cubicprod_round(Ctx* C, const u64* A, const u64* B,
+                              const u64* Cv, size_t half, u64* out) {
+  u64 e0[4] = {0,0,0,0}, c3[4] = {0,0,0,0}, em1[4] = {0,0,0,0};
+  for (size_t i = 0; i < half; i++) {
+    const u64 *alo = A + 4*i, *ahi = A + 4*(half+i);
+    const u64 *blo = B + 4*i, *bhi = B + 4*(half+i);
+    const u64 *clo = Cv + 4*i, *chi = Cv + 4*(half+i);
+    u64 am[4], t[4];
+    fp_to_mont(*C, alo, am);
+    fp_mul(*C, am, blo, t);
+    fp_to_mont(*C, t, am);
+    fp_mul(*C, am, clo, t);
+    fp_add(*C, e0, t, e0);
+    u64 da[4], db[4], dc[4];
+    fp_sub(*C, ahi, alo, da);
+    fp_sub(*C, bhi, blo, db);
+    fp_sub(*C, chi, clo, dc);
+    fp_to_mont(*C, da, am);
+    fp_mul(*C, am, db, t);
+    fp_to_mont(*C, t, am);
+    fp_mul(*C, am, dc, t);
+    fp_add(*C, c3, t, c3);
+    u64 a1[4], b1[4], c1[4];
+    fp_sub(*C, alo, da, a1);
+    fp_sub(*C, blo, db, b1);
+    fp_sub(*C, clo, dc, c1);
+    fp_to_mont(*C, a1, am);
+    fp_mul(*C, am, b1, t);
+    fp_to_mont(*C, t, am);
+    fp_mul(*C, am, c1, t);
+    fp_add(*C, em1, t, em1);
+  }
+  memcpy(out, e0, 32);
+  memcpy(out + 4, c3, 32);
+  memcpy(out + 8, em1, 32);
+}
+
+// Quadratic evaluation pair: e0 = sum alo*blo,
+// em1 = sum (2alo-ahi)*(2blo-bhi). out = 8 limbs.
+void sumcheck_quadeval_round(Ctx* C, const u64* A, const u64* B, size_t half,
+                             u64* out) {
+  u64 e0[4] = {0,0,0,0}, em1[4] = {0,0,0,0};
+  for (size_t i = 0; i < half; i++) {
+    const u64 *alo = A + 4*i, *ahi = A + 4*(half+i);
+    const u64 *blo = B + 4*i, *bhi = B + 4*(half+i);
+    u64 am[4], t[4];
+    fp_to_mont(*C, alo, am);
+    fp_mul(*C, am, blo, t);
+    fp_add(*C, e0, t, e0);
+    u64 a1[4], b1[4];
+    fp_add(*C, alo, alo, a1);
+    fp_sub(*C, a1, ahi, a1);
+    fp_add(*C, blo, blo, b1);
+    fp_sub(*C, b1, bhi, b1);
+    fp_to_mont(*C, a1, am);
+    fp_mul(*C, am, b1, t);
+    fp_add(*C, em1, t, em1);
+  }
+  memcpy(out, e0, 32);
+  memcpy(out + 4, em1, 32);
+}
+
+// Linear pair: e0 = sum (alo - blo), em1 = sum (2alo-ahi) - (2blo-bhi).
+// out = 8 limbs.
+void sumcheck_linear_round(Ctx* C, const u64* A, const u64* B, size_t half,
+                           u64* out) {
+  u64 e0[4] = {0,0,0,0}, em1[4] = {0,0,0,0};
+  for (size_t i = 0; i < half; i++) {
+    const u64 *alo = A + 4*i, *ahi = A + 4*(half+i);
+    const u64 *blo = B + 4*i, *bhi = B + 4*(half+i);
+    u64 t[4];
+    fp_sub(*C, alo, blo, t);
+    fp_add(*C, e0, t, e0);
+    u64 a1[4], b1[4];
+    fp_add(*C, alo, alo, a1);
+    fp_sub(*C, a1, ahi, a1);
+    fp_add(*C, blo, blo, b1);
+    fp_sub(*C, b1, bhi, b1);
+    fp_sub(*C, a1, b1, t);
+    fp_add(*C, em1, t, em1);
+  }
+  memcpy(out, e0, 32);
+  memcpy(out + 4, em1, 32);
+}
+
+// One round of the quadratic product sumcheck: e0 = sum alo*blo,
+// coeff = sum (ahi-alo)*(bhi-blo). out = 8 limbs.
+void sumcheck_quad_round(Ctx* C, const u64* A, const u64* B, size_t half,
+                         u64* out) {
+  u64 e0[4] = {0,0,0,0}, cf[4] = {0,0,0,0};
+  for (size_t i = 0; i < half; i++) {
+    const u64 *alo = A + 4*i, *ahi = A + 4*(half+i);
+    const u64 *blo = B + 4*i, *bhi = B + 4*(half+i);
+    u64 am[4], t[4];
+    fp_to_mont(*C, alo, am);
+    fp_mul(*C, am, blo, t);
+    fp_add(*C, e0, t, e0);
+    u64 da[4], db[4];
+    fp_sub(*C, ahi, alo, da);
+    fp_sub(*C, bhi, blo, db);
+    fp_to_mont(*C, da, am);
+    fp_mul(*C, am, db, t);
+    fp_add(*C, cf, t, cf);
+  }
+  memcpy(out, e0, 32);
+  memcpy(out + 4, cf, 32);
 }
 
 // Batch modular inverse via the Montgomery product trick: ~3 muls per

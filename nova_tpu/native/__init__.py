@@ -63,6 +63,12 @@ def _build() -> Optional[ctypes.CDLL]:
                                u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_sat_check", [u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_batch_inv", [u64p, u64p, ctypes.c_size_t]),
+        ("eq_evals", [u64p, ctypes.c_size_t, u64p]),
+        ("sumcheck_cubic_round", [u64p, u64p, u64p, u64p, ctypes.c_size_t, u64p]),
+        ("sumcheck_quad_round", [u64p, u64p, ctypes.c_size_t, u64p]),
+        ("sumcheck_cubicprod_round", [u64p, u64p, u64p, ctypes.c_size_t, u64p]),
+        ("sumcheck_quadeval_round", [u64p, u64p, ctypes.c_size_t, u64p]),
+        ("sumcheck_linear_round", [u64p, u64p, ctypes.c_size_t, u64p]),
         ("msm", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
         ("msm_idx", [u64p, u64p, u8p, u64p,
                      ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
@@ -382,6 +388,86 @@ def vec_cross_relaxed_l(p: int, az1, bz1, cz1, az2, bz2, cz2, e1, e2,
     lib.vec_cross_relaxed(ctx, *[_ptr64(a) for a in args],
                           _ptr64(uu1), _ptr64(uu2), _ptr64(out), n)
     return out
+
+
+def eq_evals_l(p: int, r: "Sequence[int]") -> np.ndarray:
+    """Full eq(r, x) table as (2^k, 4) limbs (top variable = r[0])."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    k = len(r)
+    rl = ints_to_limbs([x % p for x in r])
+    out = np.zeros((1 << k, 4), dtype=np.uint64)
+    lib.eq_evals(ctx, _ptr64(rl), k, _ptr64(out))
+    return out
+
+
+def sumcheck_cubic_round_l(p: int, E, A, B, Cv) -> tuple:
+    """(e0, cubic_coeff, e_minus_1) for one round; inputs (2h,4) limbs."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    half = E.shape[0] // 2
+    out = np.zeros((3, 4), dtype=np.uint64)
+    lib.sumcheck_cubic_round(ctx, _ptr64(np.ascontiguousarray(E)),
+                             _ptr64(np.ascontiguousarray(A)),
+                             _ptr64(np.ascontiguousarray(B)),
+                             _ptr64(np.ascontiguousarray(Cv)), half, _ptr64(out))
+    v = limbs_to_ints(out)
+    return v[0], v[1], v[2]
+
+
+def sumcheck_quad_round_l(p: int, A, B) -> tuple:
+    """(e0, quad_coeff) for one round; inputs (2h,4) limbs."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    half = A.shape[0] // 2
+    out = np.zeros((2, 4), dtype=np.uint64)
+    lib.sumcheck_quad_round(ctx, _ptr64(np.ascontiguousarray(A)),
+                            _ptr64(np.ascontiguousarray(B)), half, _ptr64(out))
+    v = limbs_to_ints(out)
+    return v[0], v[1]
+
+
+def sumcheck_cubicprod_round_l(p: int, A, B, Cv) -> tuple:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    half = A.shape[0] // 2
+    out = np.zeros((3, 4), dtype=np.uint64)
+    lib.sumcheck_cubicprod_round(ctx, _ptr64(np.ascontiguousarray(A)),
+                                 _ptr64(np.ascontiguousarray(B)),
+                                 _ptr64(np.ascontiguousarray(Cv)), half,
+                                 _ptr64(out))
+    v = limbs_to_ints(out)
+    return v[0], v[1], v[2]
+
+
+def sumcheck_quadeval_round_l(p: int, A, B) -> tuple:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    half = A.shape[0] // 2
+    out = np.zeros((2, 4), dtype=np.uint64)
+    lib.sumcheck_quadeval_round(ctx, _ptr64(np.ascontiguousarray(A)),
+                                _ptr64(np.ascontiguousarray(B)), half,
+                                _ptr64(out))
+    v = limbs_to_ints(out)
+    return v[0], v[1]
+
+
+def sumcheck_linear_round_l(p: int, A, B) -> tuple:
+    ctx = _ctx(p)
+    lib = _get_lib()
+    half = A.shape[0] // 2
+    out = np.zeros((2, 4), dtype=np.uint64)
+    lib.sumcheck_linear_round(ctx, _ptr64(np.ascontiguousarray(A)),
+                              _ptr64(np.ascontiguousarray(B)), half,
+                              _ptr64(out))
+    v = limbs_to_ints(out)
+    return v[0], v[1]
+
+
+def vec_bind_l(p: int, arr: np.ndarray, r: int) -> np.ndarray:
+    """Bind the top variable: out = lo + r*(hi - lo) = (1-r)*lo + r*hi."""
+    half = arr.shape[0] // 2
+    return vec_fold_l(p, arr[:half], arr[half:], (1 - r) % p, r % p)
 
 
 def vec_batch_inv_l(p: int, aa: np.ndarray) -> np.ndarray:

@@ -24,17 +24,42 @@ class MultilinearPolynomial:
     """Dense multilinear polynomial in evaluation form over {0,1}^num_vars
     (src/spartan/polys/multilinear.rs)."""
 
-    __slots__ = ("field", "Z", "num_vars")
+    __slots__ = ("field", "_Z", "_L", "num_vars")
 
     def __init__(self, field: FieldSpec, Z: Sequence[int]):
         n = len(Z)
         assert n > 0 and (n & (n - 1)) == 0, n
         self.field = field
-        self.Z = list(Z)
+        self._Z = list(Z)
+        self._L = None
         self.num_vars = log2_int(n)
 
+    # The evaluation table is dual-representation: Python ints (`Z`) for
+    # generic code, (n,4) uint64 limbs (`to_limbs`) for the native round
+    # kernels. Whichever side binds/writes invalidates the other.
+    @property
+    def Z(self):
+        if self._Z is None:
+            from nova_tpu import native
+
+            self._Z = native.limbs_to_ints(self._L)
+        return self._Z
+
+    @Z.setter
+    def Z(self, v):
+        self._Z = list(v)
+        self._L = None
+
+    def to_limbs(self):
+        if self._L is None:
+            from nova_tpu import native
+
+            p = self.field.p
+            self._L = native.ints_to_limbs([x % p for x in self._Z])
+        return self._L
+
     def __len__(self):
-        return len(self.Z)
+        return 1 << self.num_vars
 
     def __getitem__(self, i):
         return self.Z[i]
@@ -42,9 +67,17 @@ class MultilinearPolynomial:
     def bind_poly_var_top(self, r: int):
         """Bind the top (most significant) variable to r:
         Z'[i] = Z[i] + r*(Z[len/2 + i] - Z[i])."""
+        from nova_tpu import native
+
+        if self._L is not None and native.available():
+            self._L = native.vec_bind_l(self.field.p, self._L, r)
+            self._Z = None
+            self.num_vars -= 1
+            return
         p = self.field.p
-        half = len(self.Z) // 2
-        lo, hi = self.Z[:half], self.Z[half:]
+        Z = self.Z
+        half = len(Z) // 2
+        lo, hi = Z[:half], Z[half:]
         self.Z = [(a + r * (b - a)) % p for a, b in zip(lo, hi)]
         self.num_vars -= 1
 
@@ -106,6 +139,10 @@ class EqPolynomial:
         """Full 2^n table by doubling (evals_from_points; top variable is
         r[0])."""
         p = field.p
+        from nova_tpu import native
+
+        if native.available() and len(r) >= 8:
+            return native.limbs_to_ints(native.eq_evals_l(p, list(r)))
         evals = [1]
         for ri in r:
             nxt = []

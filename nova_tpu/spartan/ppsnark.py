@@ -174,6 +174,13 @@ class WitnessBoundSumcheck:
 
     def evaluation_points(self):
         p = self.field.p
+        from nova_tpu import native
+
+        if native.available() and len(self.poly_W) >= 32:
+            e0, em1 = native.sumcheck_quadeval_round_l(
+                p, self.poly_masked_eq.to_limbs(), self.poly_W.to_limbs()
+            )
+            return [[e0, 0, em1]]
         half = len(self.poly_W) // 2
         A, B = self.poly_masked_eq.Z, self.poly_W.Z
         e0 = em1 = 0
@@ -250,6 +257,11 @@ class MemorySumcheckInstance:
 
     def _linear(self, A, B):
         p = self.field.p
+        from nova_tpu import native
+
+        if native.available() and len(A) >= 32:
+            e0, em1 = native.sumcheck_linear_round_l(p, A.to_limbs(), B.to_limbs())
+            return [e0, 0, em1]
         half = len(A) // 2
         e0 = em1 = 0
         AZ, BZ = A.Z, B.Z
@@ -261,6 +273,20 @@ class MemorySumcheckInstance:
     def _cubic_eq(self, A, B, C_const, C=None):
         """sum eq*(A*B - C); C either a poly or the constant C_const."""
         p = self.field.p
+        from nova_tpu import native
+        import numpy as np
+
+        if native.available() and len(A) >= 32:
+            if C is not None:
+                Cl = C.to_limbs()
+            else:
+                Cl = np.zeros((len(A), 4), dtype=np.uint64)
+                if C_const:
+                    Cl[:, 0] = C_const  # small constants only (0 or 1 here)
+            e0, c3, em1 = native.sumcheck_cubic_round_l(
+                p, self.poly_eq.to_limbs(), A.to_limbs(), B.to_limbs(), Cl
+            )
+            return [e0, c3, em1]
         half = len(A) // 2
         e0 = c3 = em1 = 0
         EZ, AZ, BZ = self.poly_eq.Z, A.Z, B.Z
@@ -327,6 +353,17 @@ class InnerBatchedSumcheckInstance:
 
     def evaluation_points(self):
         p = self.field.p
+        from nova_tpu import native
+
+        if native.available() and len(self.poly_L_row) >= 32:
+            e0, c3, em1 = native.sumcheck_cubicprod_round_l(
+                p, self.poly_L_row.to_limbs(), self.poly_L_col.to_limbs(),
+                self.poly_val.to_limbs()
+            )
+            eE0, eEm1 = native.sumcheck_quadeval_round_l(
+                p, self.poly_eq.to_limbs(), self.poly_E.to_limbs()
+            )
+            return [[e0, c3, em1], [eE0, 0, eEm1]]
         half = len(self.poly_L_row) // 2
         AZ, BZ, CZ = self.poly_L_row.Z, self.poly_L_col.Z, self.poly_val.Z
         e0 = c3 = em1 = 0

@@ -107,6 +107,28 @@ class SumcheckProof:
         r: List[int] = []
         polys: List[CompressedUniPoly] = []
         claim_per_round = claim % field.p
+        from nova_tpu import native
+
+        if native.available() and len(poly_A) >= 32:
+            p = field.p
+            Al = native.ints_to_limbs([x % p for x in poly_A.Z])
+            Bl = native.ints_to_limbs([x % p for x in poly_B.Z])
+            for _ in range(num_rounds):
+                e0, coeff = native.sumcheck_quad_round_l(p, Al, Bl)
+                poly = UniPoly.from_evals_deg2(
+                    field, [e0, (claim_per_round - e0) % p, coeff]
+                )
+                transcript.absorb(b"p", poly)
+                r_i = transcript.squeeze(b"c")
+                r.append(r_i)
+                polys.append(poly.compress())
+                claim_per_round = poly.evaluate(r_i)
+                Al = native.vec_bind_l(p, Al, r_i)
+                Bl = native.vec_bind_l(p, Bl, r_i)
+            ca, cb = native.limbs_to_ints(Al)[0], native.limbs_to_ints(Bl)[0]
+            poly_A.Z, poly_A.num_vars = [ca], 0
+            poly_B.Z, poly_B.num_vars = [cb], 0
+            return SumcheckProof(polys), r, [ca, cb]
         for _ in range(num_rounds):
             e0, coeff = SumcheckProof._eval_points_quad_prod(field, poly_A, poly_B)
             poly = UniPoly.from_evals_deg2(
@@ -137,6 +159,37 @@ class SumcheckProof:
         identical round polynomials with fewer passes)."""
         p = field.p
         num_rounds = len(taus)
+        from nova_tpu import native
+
+        if native.available() and len(poly_A) >= 32:
+            El = native.eq_evals_l(p, list(taus))
+            Al = native.ints_to_limbs([x % p for x in poly_A.Z])
+            Bl = native.ints_to_limbs([x % p for x in poly_B.Z])
+            Cl = native.ints_to_limbs([x % p for x in poly_C.Z])
+            r = []
+            polys = []
+            claim_per_round = claim % p
+            for _ in range(num_rounds):
+                e0, c3, em1 = native.sumcheck_cubic_round_l(p, El, Al, Bl, Cl)
+                poly = UniPoly.from_evals_deg3(
+                    field, [e0, (claim_per_round - e0) % p, c3, em1]
+                )
+                transcript.absorb(b"p", poly)
+                r_i = transcript.squeeze(b"c")
+                r.append(r_i)
+                polys.append(poly.compress())
+                claim_per_round = poly.evaluate(r_i)
+                Al = native.vec_bind_l(p, Al, r_i)
+                Bl = native.vec_bind_l(p, Bl, r_i)
+                Cl = native.vec_bind_l(p, Cl, r_i)
+                El = native.vec_bind_l(p, El, r_i)
+            ca = native.limbs_to_ints(Al)[0]
+            cb = native.limbs_to_ints(Bl)[0]
+            cc = native.limbs_to_ints(Cl)[0]
+            poly_A.Z, poly_A.num_vars = [ca], 0
+            poly_B.Z, poly_B.num_vars = [cb], 0
+            poly_C.Z, poly_C.num_vars = [cc], 0
+            return SumcheckProof(polys), r, [ca, cb, cc]
         poly_eq = MultilinearPolynomial(field, EqPolynomial.evals_from_points(field, list(taus)))
         r: List[int] = []
         polys: List[CompressedUniPoly] = []
