@@ -71,6 +71,34 @@ class _no_persistent_cache:
         return self._cm.__exit__(*exc)
 
 
+_ACTIVE_MESH = None
+
+
+class use_mesh:
+    """Context manager marking a device mesh as the active commit target:
+    while active, CommitmentEngine.commit routes MSMs through msm_sharded
+    on this mesh (the multi-chip prover path; SURVEY.md §2.10)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self._prev = None
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "pts") -> Mesh:
     """1-D device mesh over the first n devices."""
     devs = jax.devices()

@@ -275,6 +275,17 @@ class CommitmentEngine:
         from nova_tpu.ops.fvec import FVec
 
         assert len(ck.ck) >= len(v), (len(ck.ck), len(v))
+        from nova_tpu.parallel import current_mesh
+
+        mesh = current_mesh()
+        if mesh is not None and len(v) >= 8:
+            from nova_tpu.parallel import msm_sharded
+            from nova_tpu.ops.fvec import as_list
+
+            acc = msm_sharded(as_list(v), ck.ck[: len(v)], mesh=mesh)
+            if r:
+                acc = acc.add(ck.h.mul(r))
+            return Commitment(acc)
         if isinstance(v, FVec):
             if _device_ok() and len(v) >= FOLD_DEVICE_THRESHOLD:
                 from nova_tpu.ops.msm3 import msm_device3_mont
