@@ -65,7 +65,7 @@ def bench_fold_and_compress():
     t0 = time.perf_counter()
     proof = CompressedSNARK.prove(pp, pk, rs)
     compress_s = time.perf_counter() - t0
-    CompressedSNARK.verify(vk, proof, rs.i, [0], rs.zi)
+    proof.verify(vk, rs.i, [0])
     return fold_ms, compress_s
 
 

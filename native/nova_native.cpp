@@ -1467,6 +1467,42 @@ void sumcheck_cubic_round(Ctx* C, const u64* E, const u64* A, const u64* B,
   memcpy(out + 8, em1, 32);
 }
 
+// One Gruen/BDDT eq-factored round (eprint 2024/108 + 2025/1117 §6.2;
+// reference src/spartan/sumcheck.rs:580-760): the eq table is NEVER
+// bound — callers pass the prefix slice of the full table, which equals
+// prod_{i<=j}(1-tau_i) * eq(tau_{>j}, x) — so each round needs only TWO
+// N-scaling sums:
+//   t0   = sum E[i]*(A_lo*B_lo - C_lo)
+//   tinf = sum E[i]*dA*dB
+// (t(1) is derived from the running claim by the caller.) out = 8 limbs.
+void sumcheck_cubic_gruen_round(Ctx* C, const u64* E, const u64* A,
+                                const u64* B, const u64* Cv, size_t half,
+                                u64* out) {
+  u64 t0[4] = {0,0,0,0}, tinf[4] = {0,0,0,0};
+  for (size_t i = 0; i < half; i++) {
+    const u64* e = E + 4*i;
+    const u64 *alo = A + 4*i, *ahi = A + 4*(half+i);
+    const u64 *blo = B + 4*i, *bhi = B + 4*(half+i);
+    const u64 *clo = Cv + 4*i;
+    u64 em[4], ab[4], t[4];
+    fp_to_mont(*C, e, em);
+    fp_to_mont(*C, alo, t);
+    fp_mul(*C, t, blo, ab);
+    fp_sub(*C, ab, clo, ab);
+    fp_mul(*C, em, ab, t);
+    fp_add(*C, t0, t, t0);
+    u64 da[4], db[4];
+    fp_sub(*C, ahi, alo, da);
+    fp_sub(*C, bhi, blo, db);
+    fp_to_mont(*C, da, t);
+    fp_mul(*C, t, db, da);
+    fp_mul(*C, em, da, t);
+    fp_add(*C, tinf, t, tinf);
+  }
+  memcpy(out, t0, 32);
+  memcpy(out + 4, tinf, 32);
+}
+
 // One round of the cubic PRODUCT sumcheck (no eq):
 //   e0 = sum alo*blo*clo, c3 = sum da*db*dc,
 //   em1 = sum (alo-da)*(blo-db)*(clo-dc). out = 12 limbs.

@@ -66,6 +66,7 @@ def _build() -> Optional[ctypes.CDLL]:
         ("eq_evals", [u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_cubic_round", [u64p, u64p, u64p, u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_quad_round", [u64p, u64p, ctypes.c_size_t, u64p]),
+        ("sumcheck_cubic_gruen_round", [u64p, u64p, u64p, u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_cubicprod_round", [u64p, u64p, u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_quadeval_round", [u64p, u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_linear_round", [u64p, u64p, ctypes.c_size_t, u64p]),
@@ -423,6 +424,23 @@ def sumcheck_quad_round_l(p: int, A, B) -> tuple:
     out = np.zeros((2, 4), dtype=np.uint64)
     lib.sumcheck_quad_round(ctx, _ptr64(np.ascontiguousarray(A)),
                             _ptr64(np.ascontiguousarray(B)), half, _ptr64(out))
+    v = limbs_to_ints(out)
+    return v[0], v[1]
+
+
+def sumcheck_cubic_gruen_round_l(p: int, E, A, B, Cv) -> tuple:
+    """(t0, tinf) of the eq-factored round; E is the UNBOUND prefix slice
+    of the full eq table (length half), A/B/Cv the bound tables (2*half)."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    half = A.shape[0] // 2
+    assert E.shape[0] == half
+    out = np.zeros((2, 4), dtype=np.uint64)
+    lib.sumcheck_cubic_gruen_round(ctx, _ptr64(np.ascontiguousarray(E)),
+                                   _ptr64(np.ascontiguousarray(A)),
+                                   _ptr64(np.ascontiguousarray(B)),
+                                   _ptr64(np.ascontiguousarray(Cv)), half,
+                                   _ptr64(out))
     v = limbs_to_ints(out)
     return v[0], v[1]
 

@@ -11,6 +11,8 @@ changing the proof format).
 
 from __future__ import annotations
 
+import os
+
 from typing import List, Optional, Sequence, Tuple
 
 from nova_tpu.errors import InvalidSumcheckProofError
@@ -161,6 +163,67 @@ class SumcheckProof:
         num_rounds = len(taus)
         from nova_tpu import native
 
+        taus_r = [t % p for t in taus]
+        use_gruen = (
+            native.available()
+            and len(poly_A) >= 32
+            and all(t not in (0, 1) for t in taus_r)
+            and int(os.environ.get("NOVA_NO_GRUEN", "0")) == 0
+        )
+        if use_gruen:
+            # Gruen eq-factoring + BDDT claim-derivation (eprint 2024/108,
+            # 2025/1117 §6.2; reference src/spartan/sumcheck.rs:580-760):
+            # the eq table is built once and NEVER bound; each round does
+            # two N-scaling sums (t(0), leading coeff), derives t(1) from
+            # the running claim, and applies the linear eq factor
+            # analytically. Produces bit-identical round polynomials to
+            # the materialized-eq prover.
+            El = native.eq_evals_l(p, taus_r)
+            Al = native.ints_to_limbs([x % p for x in poly_A.Z])
+            Bl = native.ints_to_limbs([x % p for x in poly_B.Z])
+            Cl = native.ints_to_limbs([x % p for x in poly_C.Z])
+            r = []
+            polys = []
+            claim_per_round = claim % p
+            pre = 1  # eq(tau_{<j}, r_{<j})
+            D = 1    # prod_{i<=j} (1 - tau_i)
+            for j in range(num_rounds):
+                tau = taus_r[j]
+                D = D * (1 - tau) % p
+                g = pre * field.inv(D) % p
+                half = Al.shape[0] // 2
+                t0, tinf = native.sumcheck_cubic_gruen_round_l(
+                    p, El[:half], Al, Bl, Cl
+                )
+                lin0 = (1 - tau) % p
+                t1 = (
+                    (claim_per_round * field.inv(g) - lin0 * t0)
+                    * field.inv(tau)
+                ) % p
+                a1 = (t1 - t0 - tinf) % p
+                tm1 = (t0 - a1 + tinf) % p
+                e0 = g * lin0 % p * t0 % p
+                c3 = g * (2 * tau - 1) % p * tinf % p
+                em1 = g * (2 - 3 * tau) % p * tm1 % p
+                poly = UniPoly.from_evals_deg3(
+                    field, [e0, (claim_per_round - e0) % p, c3, em1]
+                )
+                transcript.absorb(b"p", poly)
+                r_i = transcript.squeeze(b"c")
+                r.append(r_i)
+                polys.append(poly.compress())
+                claim_per_round = poly.evaluate(r_i)
+                Al = native.vec_bind_l(p, Al, r_i)
+                Bl = native.vec_bind_l(p, Bl, r_i)
+                Cl = native.vec_bind_l(p, Cl, r_i)
+                pre = pre * (tau * r_i + (1 - tau) * (1 - r_i)) % p
+            ca = native.limbs_to_ints(Al)[0]
+            cb = native.limbs_to_ints(Bl)[0]
+            cc = native.limbs_to_ints(Cl)[0]
+            poly_A.Z, poly_A.num_vars = [ca], 0
+            poly_B.Z, poly_B.num_vars = [cb], 0
+            poly_C.Z, poly_C.num_vars = [cc], 0
+            return SumcheckProof(polys), r, [ca, cb, cc]
         if native.available() and len(poly_A) >= 32:
             El = native.eq_evals_l(p, list(taus))
             Al = native.ints_to_limbs([x % p for x in poly_A.Z])

@@ -319,3 +319,52 @@ def test_ppsnark_relaxed_wide_shapes(num_vars):
     pk, vk = PP.setup(engine, ck, S)
     proof = PP.prove(engine, ck, pk, S, drU, drW)
     proof.verify(vk, drU)
+
+
+def test_gruen_eq_factored_sumcheck_matches_materialized():
+    """The Gruen/BDDT eq-factored prover (sumcheck.rs:580-760 analog) must
+    produce bit-identical round polynomials, challenges, and final claims
+    to the materialized-eq prover."""
+    import copy
+    import os
+    import random
+
+    from nova_tpu.provider.engines import PallasEngine
+    from nova_tpu.provider.keccak import Keccak256Transcript
+    from nova_tpu.spartan.polys import EqPolynomial, MultilinearPolynomial
+    from nova_tpu.spartan.sumcheck import SumcheckProof
+
+    f = PallasEngine.scalar
+    rng = random.Random(0x5EED)
+    n = 1 << 7
+    A = MultilinearPolynomial(f, [rng.randrange(f.p) for _ in range(n)])
+    B = MultilinearPolynomial(f, [rng.randrange(f.p) for _ in range(n)])
+    C = MultilinearPolynomial(f, [rng.randrange(f.p) for _ in range(n)])
+    taus = [rng.randrange(1, f.p) for _ in range(7)]
+    eq = EqPolynomial.evals_from_points(f, taus)
+    claim = sum(e * (a * b - c) for e, a, b, c in zip(eq, A.Z, B.Z, C.Z)) % f.p
+
+    tr1 = Keccak256Transcript(b"t", f)
+    A1, B1, C1 = copy.deepcopy((A, B, C))
+    pf1, r1, cl1 = SumcheckProof.prove_cubic_with_three_inputs(
+        f, claim, taus, A1, B1, C1, tr1
+    )
+
+    os.environ["NOVA_NO_GRUEN"] = "1"
+    try:
+        tr2 = Keccak256Transcript(b"t", f)
+        A2, B2, C2 = copy.deepcopy((A, B, C))
+        pf2, r2, cl2 = SumcheckProof.prove_cubic_with_three_inputs(
+            f, claim, taus, A2, B2, C2, tr2
+        )
+    finally:
+        del os.environ["NOVA_NO_GRUEN"]
+
+    assert r1 == r2 and cl1 == cl2
+    assert all(
+        p1.coeffs_except_linear_term == p2.coeffs_except_linear_term
+        for p1, p2 in zip(pf1.compressed_polys, pf2.compressed_polys)
+    )
+    tr3 = Keccak256Transcript(b"t", f)
+    _, rv = pf1.verify(f, claim, 7, 3, tr3)
+    assert rv == r1
