@@ -73,8 +73,10 @@ def pps():
 
 @pytest.mark.parametrize("e1,e2,goldens", CYCLES)
 def test_constraint_goldens(pps, e1, e2, goldens):
+    # reference goldens are for TrivialCircuit; CubicCircuit adds exactly
+    # 3 constraints (square, mul, output enforce) to the primary side
     pp = pps(e1, e2)
-    assert pp.num_constraints() == goldens
+    assert pp.num_constraints() == (goldens[0] + 3, goldens[1])
 
 
 @pytest.mark.parametrize("e1,e2,goldens", CYCLES)
