@@ -66,6 +66,31 @@ def dumps(obj) -> bytes:
     return buf.getvalue()
 
 
+# --- EVM-compatible big-endian flavour (reference `evm` feature:
+# src/traits/evm_serde.rs + the per-curve CustomSerdeTrait impls, which
+# fix field elements to 32-byte big-endian words and points to validated
+# uncompressed coordinates so Solidity verifiers can parse proofs) ------
+
+_EVM = False
+
+
+def dumps_evm(obj) -> bytes:
+    """Serialize with fixed 32-byte big-endian integers (EVM word layout)
+    and uncompressed point coordinates. Raises for integers >= 2^256."""
+    global _EVM
+    buf = BytesIO()
+    _EVM = True
+    try:
+        _enc(buf, obj, 0)
+    finally:
+        _EVM = False
+    return buf.getvalue()
+
+
+def loads_evm(data: bytes):
+    return loads(data)
+
+
 def _enc(buf: BytesIO, v, depth: int) -> None:
     from nova_tpu.curves.spec import AffinePoint, CurveSpec
     from nova_tpu.fields.spec import FieldSpec
@@ -80,7 +105,13 @@ def _enc(buf: BytesIO, v, depth: int) -> None:
     elif v is False:
         buf.write(b"F")
     elif isinstance(v, int):
-        _encode_int(buf, v)
+        if _EVM:
+            if not 0 <= v < (1 << 256):
+                raise NovaError("EVM serialization requires 0 <= int < 2^256")
+            buf.write(b"J")
+            buf.write(v.to_bytes(32, "big"))
+        else:
+            _encode_int(buf, v)
     elif isinstance(v, str):
         raw = v.encode()
         buf.write(b"S")
@@ -108,6 +139,15 @@ def _enc(buf: BytesIO, v, depth: int) -> None:
                 raise NovaError(f"non-str dict key not serializable: {k!r}")
             _enc(buf, k, depth + 1)
             _enc(buf, x, depth + 1)
+    elif isinstance(v, AffinePoint) and _EVM:
+        # uncompressed big-endian coordinates; identity = all-zero words
+        buf.write(b"Q")
+        _enc(buf, v.curve.name, depth + 1)
+        if v.infinity:
+            buf.write(b"\x00" * 64)
+        else:
+            buf.write(v.x.to_bytes(32, "big"))
+            buf.write(v.y.to_bytes(32, "big"))
     elif isinstance(v, AffinePoint):
         buf.write(b"P")
         _enc(buf, v.curve.name, depth + 1)
@@ -188,6 +228,8 @@ def _dec(buf: BytesIO, depth: int):
         sign, n = struct.unpack(">BI", _read(buf, 5))
         mag = int.from_bytes(_read(buf, n), "big")
         return -mag if sign else mag
+    if tag == b"J":
+        return int.from_bytes(_read(buf, 32), "big")
     if tag == b"S":
         (n,) = struct.unpack(">I", _read(buf, 4))
         return _read(buf, n).decode()
@@ -207,6 +249,22 @@ def _dec(buf: BytesIO, depth: int):
                 raise NovaError("non-str dict key in serialized data")
             out[k] = _dec(buf, depth + 1)
         return out
+    if tag == b"Q":
+        name = _dec(buf, depth + 1)
+        raw = _read(buf, 64)
+        curve = _curve_registry().get(name)
+        if curve is None:
+            raise NovaError(f"unknown curve {name!r}")
+        if raw == b"\x00" * 64:
+            return AffinePoint.identity(curve)
+        x = int.from_bytes(raw[:32], "big")
+        y = int.from_bytes(raw[32:], "big")
+        if x >= curve.base.p or y >= curve.base.p:
+            raise NovaError("non-canonical coordinate in EVM point")
+        pt = AffinePoint(curve, x, y)
+        if not pt.is_on_curve():
+            raise NovaError("invalid point in serialized data")
+        return pt
     if tag == b"P":
         name = _dec(buf, depth + 1)
         x = _dec(buf, depth + 1)
