@@ -163,6 +163,96 @@ def _quintic_sbox_pre_add(cs, l: Elt, pre_round_key, post_round_key) -> Elt:
     return Elt.from_allocated(l5)
 
 
+def _permutation_witness(consts, in_vals, compact, p):
+    """Flat witness evaluator for one Poseidon permutation: returns
+    (final_state, alloc_values) where alloc_values lists, in allocation
+    order, exactly the values `_hash_inner`'s gadget path allocates (3 per
+    quintic sbox, plus the compact-mode ensure_allocated re-allocations).
+    The reference ships the same idea for its hot gadget
+    (frontend/gadgets/poseidon/circuit2_witness.rs); here it collapses the
+    tape's per-node closure chains into one native pass per permutation.
+    """
+    st = list(in_vals)
+    width = len(st)
+    allocs = []
+    crc = consts.compressed_round_constants
+    off = 0
+    cur_round = 0
+    full_half = consts.half_full_rounds
+    sparse_offset = full_half - 1
+
+    def sbox_pre(v, pre, post):
+        t = (v + pre) % p
+        l2 = t * t % p
+        allocs.append(l2)
+        l4 = l2 * l2 % p
+        allocs.append(l4)
+        l5 = (t * l4 + post) % p
+        allocs.append(l5)
+        return l5
+
+    def sbox(v, post):
+        l2 = v * v % p
+        allocs.append(l2)
+        l4 = l2 * l2 % p
+        allocs.append(l4)
+        l5 = l4 * v % p
+        if post is not None:
+            l5 = (l5 + post) % p
+        allocs.append(l5)
+        return l5
+
+    def product_mds():
+        nonlocal st, cur_round
+        if cur_round == sparse_offset:
+            matrix = consts.pre_sparse_matrix
+            st = [
+                sum(st[i] * matrix[i][j] for i in range(width)) % p
+                for j in range(width)
+            ]
+        elif sparse_offset < cur_round < full_half + consts.partial_rounds:
+            w_hat, v_rest = consts.sparse_matrixes[cur_round - sparse_offset - 1]
+            r0 = sum(e * s for e, s in zip(st, w_hat)) % p
+            st = [r0] + [
+                (st[j] + st[0] * v_rest[j - 1]) % p for j in range(1, width)
+            ]
+        else:
+            matrix = consts.m
+            st = [
+                sum(st[i] * matrix[i][j] for i in range(width)) % p
+                for j in range(width)
+            ]
+        cur_round += 1
+
+    def full_round(first, last):
+        nonlocal off
+        pre_keys = crc[off : off + width] if first else []
+        off += len(pre_keys)
+        post_keys = crc[off : off + width] if (first or not last) else []
+        off += len(post_keys)
+        for i in range(width):
+            if first:
+                st[i] = sbox_pre(st[i], pre_keys[i], post_keys[i])
+            else:
+                st[i] = sbox(st[i], post_keys[i] if post_keys else None)
+        product_mds()
+
+    full_round(True, False)
+    for _ in range(1, consts.full_rounds // 2):
+        full_round(False, False)
+    for _ in range(consts.partial_rounds):
+        rk = crc[off]
+        off += 1
+        st[0] = sbox(st[0], rk)
+        product_mds()
+        if compact:
+            allocs.extend(st[1:])
+    for _ in range(consts.full_rounds // 2 - 1):
+        full_round(False, False)
+    full_round(False, True)
+    return st, allocs
+
+
 class PoseidonCircuit:
     """PoseidonCircuit2: the in-circuit optimized-static permutation."""
 
@@ -190,6 +280,38 @@ class PoseidonCircuit:
             Elt.VALUE_ONLY = prev
 
     def _hash_inner(self, cs: ConstraintSystem) -> Elt:
+        import os
+
+        if (
+            Elt.VALUE_ONLY
+            and cs.is_witness_generator()
+            and not os.environ.get("NOVA_NO_POSEIDON_FAST")
+        ):
+            # one flat native pass per permutation; tape entries index
+            # into its (epoch-memoized) result instead of chaining
+            # per-node closures
+            p = cs.field.p
+            consts = self.consts
+            compact = self.compact
+            in_fns = [e.val for e in self.elements]
+            plan = _tape.Lazy(
+                lambda: _permutation_witness(
+                    consts, [f() for f in in_fns], compact, p
+                )
+            )
+            n_allocs = len(plan.get()[1])
+            for i in range(n_allocs):
+                AllocatedNum.alloc(cs, (lambda i=i: plan.get()[1][i]))
+            self.elements = [
+                Elt(num=Num(
+                    _tape.Lazy(lambda j=j: plan.get()[0][j]),
+                    LinearCombination.zero(),
+                ))
+                for j in range(self.width)
+            ]
+            elt = self.elements[1]
+            self.reset_offsets()
+            return elt
         self._full_round(cs, True, False)
         for _ in range(1, self.consts.full_rounds // 2):
             self._full_round(cs, False, False)

@@ -199,7 +199,54 @@ class FVec:
 
 
 def as_list(v) -> list:
-    """Materialize host ints from an FVec or pass a list through."""
+    """Materialize host ints from an FVec/HVec or pass a list through."""
     if isinstance(v, FVec):
         return v.to_ints()
+    if isinstance(v, HVec):
+        return v.to_ints()
     return list(v)
+
+
+class HVec:
+    """Host-side analog of FVec: a field vector held as (n,4) uint64
+    normal-form limbs (the native kernels' boundary format) with lazily
+    materialized Python ints. The host fold path keeps witness/error/T
+    vectors in this form so per-step kernels pay no int round trips."""
+
+    __slots__ = ("p", "_l", "_ints")
+
+    def __init__(self, p: int, limbs=None, ints=None):
+        assert limbs is not None or ints is not None
+        self.p = p
+        self._l = limbs
+        self._ints = list(ints) if ints is not None else None
+
+    def limbs64(self) -> "np.ndarray":
+        if self._l is None:
+            from nova_tpu import native
+
+            self._l = native.ints_to_limbs([x % self.p for x in self._ints])
+        return self._l
+
+    def to_ints(self) -> List[int]:
+        if self._ints is None:
+            from nova_tpu import native
+
+            self._ints = native.limbs_to_ints(self._l)
+        return self._ints
+
+    def __len__(self):
+        return self._l.shape[0] if self._l is not None else len(self._ints)
+
+    def __iter__(self):
+        return iter(self.to_ints())
+
+    def __getitem__(self, i):
+        return self.to_ints()[i]
+
+    def __eq__(self, other):
+        if isinstance(other, HVec):
+            return self.to_ints() == other.to_ints()
+        if isinstance(other, (list, tuple)):
+            return self.to_ints() == list(other)
+        return NotImplemented

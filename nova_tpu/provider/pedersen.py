@@ -286,6 +286,10 @@ class CommitmentEngine:
             if r:
                 acc = acc.add(ck.h.mul(r))
             return Commitment(acc)
+        from nova_tpu.ops.fvec import HVec
+
+        if isinstance(v, HVec) and native.available():
+            return CommitmentEngine.commit_limbs(ck, v.limbs64(), r)
         if isinstance(v, FVec):
             if _device_ok() and len(v) >= FOLD_DEVICE_THRESHOLD:
                 from nova_tpu.ops.msm3 import msm_device3_mont

@@ -138,11 +138,12 @@ class SparseMatrix:
 
 
 def _vec_limbs(v, p):
-    """(n,4) uint64 normal-form limbs of a witness vector (FVec or ints)."""
+    """(n,4) uint64 normal-form limbs of a witness vector (FVec/HVec or
+    ints)."""
     from nova_tpu import native
-    from nova_tpu.ops.fvec import FVec
+    from nova_tpu.ops.fvec import FVec, HVec
 
-    if isinstance(v, FVec):
+    if isinstance(v, (FVec, HVec)):
         return v.limbs64()
     return native.ints_to_limbs([x % p for x in v])
 
@@ -295,7 +296,9 @@ class R1CSShape:
             Az, Bz, Cz = self.multiply_vec_l(Z)
             Tl = native.vec_cross_l(p, Az, Bz, Cz, _vec_limbs(W1.E, p), u)
             comm_T = CommitmentEngine.commit_limbs(ck, Tl, r_T)
-            return native.limbs_to_ints(Tl), comm_T
+            from nova_tpu.ops.fvec import HVec
+
+            return HVec(p, limbs=Tl), comm_T
         from nova_tpu.ops.fvec import as_list
 
         W1W, W2W, W1E = as_list(W1.W), as_list(W2.W), as_list(W1.E)
@@ -335,7 +338,9 @@ class R1CSShape:
             )
             Tl = native.vec_cross_l(p, Az, Bz, Cz, Esum, u)
             comm_T = CommitmentEngine.commit_limbs(ck, Tl, r_T)
-            return native.limbs_to_ints(Tl), comm_T
+            from nova_tpu.ops.fvec import HVec
+
+            return HVec(p, limbs=Tl), comm_T
         from nova_tpu.ops.fvec import as_list
 
         W1W, W2W = as_list(W1.W), as_list(W2.W)
@@ -520,12 +525,22 @@ class RelaxedR1CSWitness:
             W = FVec.coerce(jf, self.W).axpy(r, FVec.coerce(jf, W2.W))
             E = FVec.coerce(jf, self.E).axpy(r, FVec.coerce(jf, T))
         else:
-            from nova_tpu.ops.fvec import as_list
+            from nova_tpu import native
 
-            W1W, W2W = as_list(self.W), as_list(W2.W)
-            E1, Tl = as_list(self.E), as_list(T)
-            W = [(a + r * b) % p for a, b in zip(W1W, W2W)]
-            E = [(a + r * b) % p for a, b in zip(E1, Tl)]
+            if native.available():
+                from nova_tpu.ops.fvec import HVec
+
+                W = HVec(p, limbs=native.vec_axpy_l(
+                    p, _vec_limbs(self.W, p), _vec_limbs(W2.W, p), r))
+                E = HVec(p, limbs=native.vec_axpy_l(
+                    p, _vec_limbs(self.E, p), _vec_limbs(T, p), r))
+            else:
+                from nova_tpu.ops.fvec import as_list
+
+                W1W, W2W = as_list(self.W), as_list(W2.W)
+                E1, Tl = as_list(self.E), as_list(T)
+                W = [(a + r * b) % p for a, b in zip(W1W, W2W)]
+                E = [(a + r * b) % p for a, b in zip(E1, Tl)]
         return RelaxedR1CSWitness(W, (self.r_W + r * W2.r_W) % p, E, (self.r_E + r * r_T) % p)
 
     def fold_relaxed(self, field: FieldSpec, W2: "RelaxedR1CSWitness", T: Sequence[int], r_T: int, r: int):
@@ -543,14 +558,26 @@ class RelaxedR1CSWitness:
                 r, FVec.coerce(jf, T), r2, FVec.coerce(jf, W2.E)
             )
         else:
-            from nova_tpu.ops.fvec import as_list
+            from nova_tpu import native
 
-            W1W, W2W = as_list(self.W), as_list(W2.W)
-            E1, Tl, E2 = as_list(self.E), as_list(T), as_list(W2.E)
-            W = [(a + r * b) % p for a, b in zip(W1W, W2W)]
-            E = [
-                (a + r * t + r2 * e2) % p for a, t, e2 in zip(E1, Tl, E2)
-            ]
+            if native.available():
+                from nova_tpu.ops.fvec import HVec
+
+                W = HVec(p, limbs=native.vec_axpy_l(
+                    p, _vec_limbs(self.W, p), _vec_limbs(W2.W, p), r))
+                El = native.vec_axpy_l(
+                    p, _vec_limbs(self.E, p), _vec_limbs(T, p), r)
+                E = HVec(p, limbs=native.vec_axpy_l(
+                    p, El, _vec_limbs(W2.E, p), r2))
+            else:
+                from nova_tpu.ops.fvec import as_list
+
+                W1W, W2W = as_list(self.W), as_list(W2.W)
+                E1, Tl, E2 = as_list(self.E), as_list(T), as_list(W2.E)
+                W = [(a + r * b) % p for a, b in zip(W1W, W2W)]
+                E = [
+                    (a + r * t + r2 * e2) % p for a, t, e2 in zip(E1, Tl, E2)
+                ]
         return RelaxedR1CSWitness(
             W,
             (self.r_W + r * W2.r_W) % p,
@@ -568,6 +595,25 @@ class RelaxedR1CSWitness:
                  if isinstance(self.E, FVec)
                  else list(self.E) + [0] * (S.num_cons - len(self.E))),
                 self.r_E,
+            )
+        from nova_tpu.ops.fvec import HVec
+
+        if isinstance(self.W, HVec) or isinstance(self.E, HVec):
+            import numpy as np
+
+            p = self.W.p if isinstance(self.W, HVec) else self.E.p
+
+            def padv(v, n):
+                l = _vec_limbs(v, p)
+                if l.shape[0] < n:
+                    l = np.vstack(
+                        [l, np.zeros((n - l.shape[0], 4), dtype=np.uint64)]
+                    )
+                return HVec(p, limbs=l)
+
+            return RelaxedR1CSWitness(
+                padv(self.W, S.num_vars), self.r_W,
+                padv(self.E, S.num_cons), self.r_E,
             )
         W = list(self.W) + [0] * (S.num_vars - len(self.W))
         E = list(self.E) + [0] * (S.num_cons - len(self.E))

@@ -121,6 +121,8 @@ def _enc(buf: BytesIO, v, depth: int) -> None:
         buf.write(b"B")
         buf.write(struct.pack(">I", len(v)))
         buf.write(bytes(v))
+    elif type(v).__name__ == "HVec" and type(v).__module__ == "nova_tpu.ops.fvec":
+        _enc(buf, v.to_ints(), depth)
     elif isinstance(v, list):
         buf.write(b"L")
         buf.write(struct.pack(">I", len(v)))

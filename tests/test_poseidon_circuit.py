@@ -81,3 +81,39 @@ def test_compact_mode_same_value_more_constraints():
     v2, c2 = run(True)
     assert v1 == v2
     assert c2 > c1
+
+
+def test_fast_witness_path_matches_gadget_path():
+    """The flat per-permutation witness evaluator must fill exactly the
+    same aux slots with the same values as the closure-chain gadget path
+    (both sponge modes, compact and non-compact)."""
+    import os
+
+    from nova_tpu.frontend.tape import TapeCS, trace_mode
+    from nova_tpu.frontend.num import AllocatedNum
+    from nova_tpu.gadgets.poseidon_circuit import PoseidonROCircuit
+    from nova_tpu.provider.engines import PallasEngine
+    from nova_tpu.provider.poseidon import PoseidonROConstants
+
+    f = PallasEngine.scalar
+
+    def run(mode, compact):
+        consts = PoseidonROConstants(f)
+        cs = TapeCS(f)
+        with trace_mode():
+            ro = PoseidonROCircuit(consts, mode=mode, compact=compact)
+            vals = [123456789 + i for i in range(7)]
+            for v in vals:
+                ro.absorb(AllocatedNum.alloc(cs, (lambda v=v: v)))
+            ro.squeeze(cs, 128)
+        return list(cs.aux_assignment)
+
+    for mode in ("wide", "narrow"):
+        for compact in (False, True):
+            os.environ["NOVA_NO_POSEIDON_FAST"] = "1"
+            try:
+                slow = run(mode, compact)
+            finally:
+                del os.environ["NOVA_NO_POSEIDON_FAST"]
+            fast = run(mode, compact)
+            assert slow == fast, (mode, compact)
