@@ -69,10 +69,55 @@ def bench_fold_and_compress():
     return fold_ms, compress_s
 
 
+def _device_available(timeout_s: int = 180) -> bool:
+    """Probe the accelerator in a subprocess so a wedged tunnel can't hang
+    the whole bench run."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print(d[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and "cpu" not in r.stdout
+    except Exception:
+        return False
+
+
+def bench_msm_host():
+    """Host-native MSM fallback when no accelerator responds."""
+    from nova_tpu.curves.spec import pallas
+    from nova_tpu.provider.pedersen import CommitmentKey, from_label
+    from nova_tpu import native
+
+    n = 1 << 16
+    rng = random.Random(0xBE2C)
+    gens = from_label(pallas, b"bench-msm", n)
+    ck = CommitmentKey(pallas, gens, gens[0])
+    arrays = ck.host_arrays(n)
+    scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
+    sl = native.ints_to_limbs(scalars)
+    native.msm_cached(pallas, arrays, sl)
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        native.msm_cached(pallas, arrays, sl)
+    return n / ((time.perf_counter() - t0) / iters)
+
+
 def main() -> None:
-    pts_per_sec = bench_msm()
+    device_ok = _device_available()
+    if device_ok:
+        pts_per_sec = bench_msm()
+        backend = "tpu"
+    else:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        pts_per_sec = bench_msm_host()
+        backend = "host-fallback (accelerator unavailable)"
     baseline = (1 << 20) / 0.192  # reference msm_best datum
-    extra = {}
+    extra = {"backend": backend}
     if not os.environ.get("NOVA_BENCH_FAST"):
         try:
             fold_ms, compress_s = bench_fold_and_compress()
