@@ -74,7 +74,7 @@ class FVec:
     Sequence protocol materializes standard-form host ints lazily.
     """
 
-    __slots__ = ("jf", "m", "_ints")
+    __slots__ = ("jf", "m", "_ints", "_limbs64")
 
     def __init__(self, jf: JField, m, ints=None):
         self.jf = jf
