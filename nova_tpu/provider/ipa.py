@@ -76,7 +76,11 @@ class InnerProductArgument:
 
         L_vec: List[Commitment] = []
         R_vec: List[Commitment] = []
-        a_vec = [x % p for x in a_vec]
+        from nova_tpu.ops.fvec import HVec
+
+        a_hvec = a_vec if isinstance(a_vec, HVec) else None
+        if a_hvec is None:
+            a_vec = [x % p for x in a_vec]
         b_vec = [x % p for x in U.b_vec]
 
         # Folded-key-free prover. The reference folds the commitment key
@@ -109,7 +113,7 @@ class InnerProductArgument:
             ay_ = np.vstack([gy[:N], cy])
             ainf = np.concatenate([ginf[:N], cinf])
             arrays = (ax_, ay_, ainf)
-            a = native.ints_to_limbs(a_vec)
+            a = a_hvec.limbs64() if a_hvec is not None else native.ints_to_limbs(a_vec)
             b = native.ints_to_limbs(b_vec)
             w = native.ints_to_limbs([1] * N)
             kidx = np.arange(N, dtype=np.uint32)
@@ -147,6 +151,8 @@ class InnerProductArgument:
             return InnerProductArgument(L_vec, R_vec, a_hat)
 
         # Pure-Python fallback: same math on int lists.
+        if a_hvec is not None:
+            a_vec = a_hvec.to_ints()
         w = [1] * N
         for _ in range(rounds):
             n = len(a_vec)

@@ -64,6 +64,23 @@ class PolyEvalWitness:
     def batch_diff_size(field: FieldSpec, W: List["PolyEvalWitness"], s: int) -> "PolyEvalWitness":
         pr = field.p
         pws = powers(field, s, len(W))
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            from nova_tpu.ops.fvec import HVec
+            from nova_tpu.r1cs import _vec_limbs
+
+            size_max = max(len(w.p) for w in W)
+            acc = np.zeros((size_max, 4), dtype=np.uint64)
+            for coeff, w in zip(pws, W):
+                l = _vec_limbs(w.p, pr)
+                if l.shape[0] < size_max:
+                    l = np.vstack([l, np.zeros((size_max - l.shape[0], 4),
+                                               dtype=np.uint64)])
+                acc = native.vec_axpy_l(pr, acc, l, coeff)
+            return PolyEvalWitness(HVec(pr, limbs=acc))
         size_max = max(len(w.p) for w in W)
         out = [0] * size_max
         for coeff, w in zip(pws, W):
@@ -76,6 +93,18 @@ class PolyEvalWitness:
         assert all(len(q) == len(p_vec[0]) for q in p_vec)
         pr = field.p
         pws = powers(field, s, len(p_vec))
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            from nova_tpu.ops.fvec import HVec
+            from nova_tpu.r1cs import _vec_limbs
+
+            acc = np.zeros((len(p_vec[0]), 4), dtype=np.uint64)
+            for coeff, q in zip(pws, p_vec):
+                acc = native.vec_axpy_l(pr, acc, _vec_limbs(q, pr), coeff)
+            return PolyEvalWitness(HVec(pr, limbs=acc))
         out = [0] * len(p_vec[0])
         for coeff, q in zip(pws, p_vec):
             for i, x in enumerate(q):

@@ -27,11 +27,17 @@ class MultilinearPolynomial:
     __slots__ = ("field", "_Z", "_L", "num_vars")
 
     def __init__(self, field: FieldSpec, Z: Sequence[int]):
+        from nova_tpu.ops.fvec import HVec
+
         n = len(Z)
         assert n > 0 and (n & (n - 1)) == 0, n
         self.field = field
-        self._Z = list(Z)
-        self._L = None
+        if isinstance(Z, HVec):
+            self._Z = None
+            self._L = Z.limbs64()
+        else:
+            self._Z = list(Z)
+            self._L = None
         self.num_vars = log2_int(n)
 
     # The evaluation table is dual-representation: Python ints (`Z`) for
@@ -155,6 +161,18 @@ class EqPolynomial:
         # into adjacent (x_i=0, x_i=1) pairs, so the last r is the LSB) —
         # same ordering as the reference's rev() build.
         return evals
+
+    @staticmethod
+    def evals_hvec(field: FieldSpec, r: Sequence[int]):
+        """Full table as an HVec (limbs-direct when native is available)."""
+        from nova_tpu import native
+
+        if native.available() and len(r) >= 8:
+            from nova_tpu.ops.fvec import HVec
+
+            return HVec(field.p,
+                        limbs=native.eq_evals_l(field.p, [x % field.p for x in r]))
+        return EqPolynomial.evals_from_points(field, list(r))
 
     def evals(self) -> List[int]:
         return EqPolynomial.evals_from_points(self.field, self.r)

@@ -124,6 +124,28 @@ class R1CSShapeSparkRepr:
         """ppsnark.rs:220-254: mem_row = eq(r_outer_full), mem_col = padded z,
         L_row[i] = mem_row[row[i]], L_col[i] = mem_col[col[i]]."""
         field = self.field
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            from nova_tpu.ops.fvec import HVec
+            from nova_tpu.r1cs import _vec_limbs
+
+            p = field.p
+            mr = native.eq_evals_l(p, [x % p for x in r_outer_full])
+            zl = _vec_limbs(z, p)
+            if zl.shape[0] < self.N:
+                zl = np.vstack([zl, np.zeros((self.N - zl.shape[0], 4),
+                                             dtype=np.uint64)])
+            row = np.asarray(self.row, dtype=np.int64)
+            col = np.asarray(self.col, dtype=np.int64)
+            return (
+                HVec(p, limbs=mr),
+                HVec(p, limbs=zl),
+                HVec(p, limbs=np.ascontiguousarray(mr[row])),
+                HVec(p, limbs=np.ascontiguousarray(zl[col])),
+            )
         mem_row = EqPolynomial.evals_from_points(field, list(r_outer_full))
         mem_col = padded(z, self.N)
         L_row = [mem_row[a] for a in self.row]
@@ -219,13 +241,54 @@ class MemorySumcheckInstance:
         self.w_plus_r_col = M(w_col)
         self.ts_row = M(list(ts_row))
         self.ts_col = M(list(ts_col))
-        self.poly_eq = M(EqPolynomial.evals_from_points(field, list(rhos)))
+        self.poly_eq = M(EqPolynomial.evals_hvec(field, list(rhos)))
 
     @staticmethod
     def compute_oracles(field, ck, r, gamma, mem_row, addr_row, L_row, ts_row,
                         mem_col, addr_col, L_col, ts_col):
         """ppsnark.rs:390-490: T/W hashes, LogUp inverse oracles + commits."""
         p = field.p
+        from nova_tpu import native
+
+        if native.available():
+            import numpy as np
+
+            from nova_tpu.ops.fvec import HVec
+            from nova_tpu.r1cs import _vec_limbs
+
+            def small_limbs(vals):
+                out = np.zeros((len(vals), 4), dtype=np.uint64)
+                out[:, 0] = np.asarray(vals, dtype=np.uint64)
+                return out
+
+            def hash_vecs_l(mem, addr, lookups):
+                n = len(mem)
+                idx = np.zeros((n, 4), dtype=np.uint64)
+                idx[:, 0] = np.arange(n, dtype=np.uint64)
+                T = native.vec_axpy_l(p, idx, _vec_limbs(mem, p), gamma)
+                W = native.vec_axpy_l(
+                    p, small_limbs(addr), _vec_limbs(lookups, p), gamma
+                )
+                return T, W
+
+            def helper_l(T, W, TS):
+                n = T.shape[0]
+                ones = np.zeros((2 * n, 4), dtype=np.uint64)
+                ones[:, 0] = 1
+                both = native.vec_axpy_l(p, np.vstack([T, W]), ones, r)
+                inv = native.vec_batch_inv_l(p, both)
+                t_plus_r, w_plus_r = both[:n], both[n:]
+                t_inv = native.vec_mulmod_l(p, inv[:n], _vec_limbs(TS, p))
+                w_inv = inv[n:]
+                return (HVec(p, limbs=t_inv), HVec(p, limbs=w_inv),
+                        HVec(p, limbs=t_plus_r), HVec(p, limbs=w_plus_r))
+
+            T_row, W_row = hash_vecs_l(mem_row, addr_row, L_row)
+            T_col, W_col = hash_vecs_l(mem_col, addr_col, L_col)
+            ti_r, wi_r, t_r, w_r = helper_l(T_row, W_row, ts_row)
+            ti_c, wi_c, t_c, w_c = helper_l(T_col, W_col, ts_col)
+            comms = [CE.commit(ck, v, 0) for v in (ti_r, wi_r, ti_c, wi_c)]
+            return comms, [ti_r, wi_r, ti_c, wi_c], [t_r, w_r, t_c, w_c]
 
         def hash_vecs(mem, addr, lookups):
             T = [(mem[i] * gamma + i) % p for i in range(len(mem))]
@@ -343,7 +406,7 @@ class InnerBatchedSumcheckInstance:
         self.poly_L_col = M(L_col)
         self.poly_val = M(val)
         self.poly_E = M(E_vec)
-        self.poly_eq = M(EqPolynomial.evals_from_points(field, list(r_outer_full)))
+        self.poly_eq = M(EqPolynomial.evals_hvec(field, list(r_outer_full)))
 
     def initial_claims(self):
         return [self.claim, self.claim_E]
@@ -504,7 +567,21 @@ class RelaxedR1CSSNARK:
         transcript.absorb(b"U", U.to_transcript_bytes(field))
 
         z = list(W.W) + [U.u] + list(U.X)
-        Az, Bz, Cz = S.multiply_vec(z)
+        from nova_tpu import native as _native
+
+        if _native.available():
+            import numpy as np
+
+            from nova_tpu.ops.fvec import HVec
+            from nova_tpu.r1cs import _vec_limbs
+
+            _zl = _vec_limbs(z, field.p)
+            _Azl, _Bzl, _Czl = S.multiply_vec_l(_zl)
+            Az = HVec(field.p, limbs=_Azl)
+            Bz = HVec(field.p, limbs=_Bzl)
+            Cz = HVec(field.p, limbs=_Czl)
+        else:
+            Az, Bz, Cz = S.multiply_vec(z)
 
         num_rounds_outer = log2_int(S.num_cons)
         num_rounds_inner = log2_int(pk.S_repr.N)
