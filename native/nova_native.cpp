@@ -1617,6 +1617,50 @@ void sumcheck_quad_round(Ctx* C, const u64* A, const u64* B, size_t half,
 // Batch modular inverse via the Montgomery product trick: ~3 muls per
 // element plus ONE Fermat inversion (src/spartan/mod.rs:54-117 analog).
 // Zero entries map to zero (callers guarantee nonzero or tolerate 0).
+// Scalar modular inverse (normal form in/out), binary extended GCD —
+// ~3x faster than the Fermat ladder for one-off inversions.
+static inline bool is_even256(const u64 a[4]) { return (a[0] & 1) == 0; }
+static inline bool is_one256(const u64 a[4]) {
+  return a[0] == 1 && a[1] == 0 && a[2] == 0 && a[3] == 0;
+}
+static inline void shr1_carry(u64 a[4], u64 carry_in) {
+  a[0] = (a[0] >> 1) | (a[1] << 63);
+  a[1] = (a[1] >> 1) | (a[2] << 63);
+  a[2] = (a[2] >> 1) | (a[3] << 63);
+  a[3] = (a[3] >> 1) | (carry_in << 63);
+}
+
+void inv_mod(Ctx* C, const u64 a[4], u64 out[4]) {
+  u64 u[4], v[4], x1[4], x2[4];
+  memcpy(u, a, 32);
+  memcpy(v, C->p, 32);
+  memset(x1, 0, 32); x1[0] = 1;
+  memset(x2, 0, 32);
+  if ((u[0] | u[1] | u[2] | u[3]) == 0) { memset(out, 0, 32); return; }
+  while (!is_one256(u) && !is_one256(v)) {
+    while (is_even256(u)) {
+      shr1_carry(u, 0);
+      if (is_even256(x1)) shr1_carry(x1, 0);
+      else { u64 c = add256(x1, C->p, x1); shr1_carry(x1, c); }
+    }
+    while (is_even256(v)) {
+      shr1_carry(v, 0);
+      if (is_even256(x2)) shr1_carry(x2, 0);
+      else { u64 c = add256(x2, C->p, x2); shr1_carry(x2, c); }
+    }
+    if (cmp256(u, v) >= 0) {
+      sub256(u, v, u);
+      u64 borrow = sub256(x1, x2, x1);
+      if (borrow) add256(x1, C->p, x1);
+    } else {
+      sub256(v, u, v);
+      u64 borrow = sub256(x2, x1, x2);
+      if (borrow) add256(x2, C->p, x2);
+    }
+  }
+  memcpy(out, is_one256(u) ? x1 : x2, 32);
+}
+
 void vec_batch_inv(Ctx* C, const u64* a, u64* out, size_t n) {
   std::vector<u64> prefix(4 * (n + 1));
   memcpy(&prefix[0], C->r1, 32);

@@ -63,6 +63,7 @@ def _build() -> Optional[ctypes.CDLL]:
                                u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_sat_check", [u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_batch_inv", [u64p, u64p, ctypes.c_size_t]),
+        ("inv_mod", [u64p, u64p]),
         ("eq_evals", [u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_cubic_round", [u64p, u64p, u64p, u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_quad_round", [u64p, u64p, ctypes.c_size_t, u64p]),
@@ -486,6 +487,31 @@ def vec_bind_l(p: int, arr: np.ndarray, r: int) -> np.ndarray:
     """Bind the top variable: out = lo + r*(hi - lo) = (1-r)*lo + r*hi."""
     half = arr.shape[0] // 2
     return vec_fold_l(p, arr[:half], arr[half:], (1 - r) % p, r % p)
+
+
+_inv_in = np.zeros(4, dtype=np.uint64)
+_inv_out = np.zeros(4, dtype=np.uint64)
+_inv_in_p = None
+_inv_out_p = None
+
+
+def inv_mod(p: int, a: int) -> int:
+    """Scalar modular inverse via the native kernel (xgcd). Reuses static
+    scratch buffers: single-threaded like the rest of the frontend."""
+    global _inv_in_p, _inv_out_p
+    ctx = _ctx(p)
+    lib = _get_lib()
+    if _inv_in_p is None:
+        _inv_in_p = _ptr64(_inv_in)
+        _inv_out_p = _ptr64(_inv_out)
+    a %= p
+    _inv_in[0] = a & 0xFFFFFFFFFFFFFFFF
+    _inv_in[1] = (a >> 64) & 0xFFFFFFFFFFFFFFFF
+    _inv_in[2] = (a >> 128) & 0xFFFFFFFFFFFFFFFF
+    _inv_in[3] = a >> 192
+    lib.inv_mod(ctx, _inv_in_p, _inv_out_p)
+    o = _inv_out
+    return int(o[0]) | (int(o[1]) << 64) | (int(o[2]) << 128) | (int(o[3]) << 192)
 
 
 def vec_batch_inv_l(p: int, aa: np.ndarray) -> np.ndarray:
