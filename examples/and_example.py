@@ -40,26 +40,7 @@ def u64_into_bit_vec_le(cs, value):
     ]
 
 
-def le_bits_to_num(cs, bits):
-    out_lc = LinearCombination.zero()
-    coeff = 1
-    for bit in bits:
-        out_lc = out_lc + (coeff, bit.get_variable())
-        coeff <<= 1
-
-    def fe():
-        acc = 0
-        c = 1
-        for bit in bits:
-            if bit.get_value():
-                acc += c
-            c <<= 1
-        return acc % cs.field.p
-
-    num = AllocatedNum.alloc(cs, fe)
-    out_lc = out_lc - num.get_variable()
-    cs.enforce(LinearCombination.zero(), LinearCombination.zero(), out_lc)
-    return num
+from nova_tpu.gadgets.utils import le_bits_to_num  # noqa: E402
 
 
 class AndCircuit(StepCircuit):

@@ -666,7 +666,11 @@ static void msm_pair_rounds(const Ctx& C, size_t nb,
   if (S.prefix.size() < 4 * (PAIR_CHUNK + 1)) S.prefix.resize(4 * (PAIR_CHUNK + 1));
   while (max_len >= 2) {
     S.pairs.clear();
-    S.ensure(max_len / 2 * nb + nb);  // upper bound; cheap after first round
+    // pairs per round are bounded by half the live slots, NOT by
+    // max_len/2 per bucket times nb (skewed bucket distributions would
+    // blow that product up to multi-GB allocations)
+    size_t cap_pairs = ax.size() / 8 + nb + 8;
+    S.ensure(cap_pairs);
     // classify: build pair list, stash operands, copy lone points/carries
     for (size_t b = 0; b < nb; b++) {
       uint32_t s = seg_start[b], k = seg_len[b];
@@ -1174,7 +1178,7 @@ static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
   int c = c_best;
   if (const char* cenv = getenv("NOVA_MSM_C")) {
     int cf = atoi(cenv);
-    if (cf >= 2 && cf <= 16) c = cf;
+    if (cf >= 2 && cf <= 15) c = cf;  // 16 would overflow the int16 digits
   }
   int W = (max_bits + c - 1) / c + 1;
   size_t nb = (size_t)1 << (c - 1);

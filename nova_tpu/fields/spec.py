@@ -69,7 +69,7 @@ class FieldSpec:
         return self.add(a, a)
 
     def inv(self, a: int) -> int:
-        if a == 0:
+        if a % self.p == 0:
             raise ZeroDivisionError(f"inverse of 0 in {self.name}")
         if self.p.bit_length() <= 256 and self.p & 1:
             from nova_tpu import native

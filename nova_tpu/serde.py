@@ -121,7 +121,9 @@ def _enc(buf: BytesIO, v, depth: int) -> None:
         buf.write(b"B")
         buf.write(struct.pack(">I", len(v)))
         buf.write(bytes(v))
-    elif type(v).__name__ == "HVec" and type(v).__module__ == "nova_tpu.ops.fvec":
+    elif type(v).__name__ in ("HVec", "FVec") and type(v).__module__ == "nova_tpu.ops.fvec":
+        # field vectors serialize as their int lists (format-stable across
+        # host/device prover paths)
         _enc(buf, v.to_ints(), depth)
     elif isinstance(v, list):
         buf.write(b"L")
@@ -169,6 +171,9 @@ def _enc(buf: BytesIO, v, depth: int) -> None:
         # class references (e.g. an EE class on a verifier key)
         if not v.__module__.startswith("nova_tpu."):
             raise NovaError(f"class outside nova_tpu not serializable: {v}")
+        if "." in v.__qualname__:
+            # _resolve_class refuses dotted quals; fail at encode time too
+            raise NovaError(f"nested class not serializable: {v}")
         buf.write(b"K")
         _enc(buf, f"{v.__module__}:{v.__qualname__}", depth + 1)
     elif v.__class__.__module__.startswith("nova_tpu.") and (

@@ -72,3 +72,20 @@ def test_proof_bytes_roundtrip(pp):
     data = checkpoint.proof_to_bytes(proof)
     proof2 = checkpoint.proof_from_bytes(data)
     assert proof2.verify(vk, 1, [1]) == proof.verify(vk, 1, [1])
+
+
+def test_checkpoint_device_resident_witness(tmp_path):
+    """FVec/HVec witness vectors must serialize (the device prover path
+    keeps W/E device-resident; checkpoints encode them as int lists)."""
+    from nova_tpu import serde
+    from nova_tpu.fields.jfield import JField
+    from nova_tpu.ops.fvec import FVec, HVec
+    from nova_tpu.provider.engines import PallasEngine
+
+    f = PallasEngine.scalar
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    fv = FVec.from_ints(JField(f), vals)
+    hv = HVec(f.p, ints=vals)
+    raw = serde.dumps({"fv": fv, "hv": hv})
+    back = serde.loads(raw)
+    assert back["fv"] == vals and back["hv"] == vals
