@@ -346,17 +346,20 @@ class RecursiveSNARK:
 
         e1, e2 = pp.engine1, pp.engine2
 
+        from nova_tpu import profiling
+
         # fold the secondary circuit's instance
-        nifs_secondary, (r_U_secondary, r_W_secondary) = NIFS.prove(
-            pp.ck_secondary,
-            e2,
-            pp.digest(),
-            pp.r1cs_shape_secondary,
-            self.r_U_secondary,
-            self.r_W_secondary,
-            self.l_u_secondary,
-            self.l_w_secondary,
-        )
+        with profiling.phase("nifs_secondary"):
+            nifs_secondary, (r_U_secondary, r_W_secondary) = NIFS.prove(
+                pp.ck_secondary,
+                e2,
+                pp.digest(),
+                pp.r1cs_shape_secondary,
+                self.r_U_secondary,
+                self.r_W_secondary,
+                self.l_u_secondary,
+                self.l_w_secondary,
+            )
 
         r_next_primary = secrets.randbelow(e1.scalar.p)
 
@@ -371,26 +374,29 @@ class RecursiveSNARK:
             u=self.l_u_secondary,
             T=nifs_secondary.comm_T,
         )
-        if not getattr(c, "tape_safe", True):
-            cs_primary = SatisfyingAssignment(e1.scalar)
-            zi_nums = NovaAugmentedCircuit(
-                e2, True, inputs_primary, c, pp.ro_consts_circuit_primary
-            ).synthesize(cs_primary)
-            zi_primary_vals = [n.get_value() for n in zi_nums]
-        elif self._wgen_primary is None:
-            self._wgen_primary = _CompiledAugmented(
-                e2, True, c, pp.ro_consts_circuit_primary, e1.scalar, inputs_primary
+        with profiling.phase("synthesize_primary"):
+            if not getattr(c, "tape_safe", True):
+                cs_primary = SatisfyingAssignment(e1.scalar)
+                zi_nums = NovaAugmentedCircuit(
+                    e2, True, inputs_primary, c, pp.ro_consts_circuit_primary
+                ).synthesize(cs_primary)
+                zi_primary_vals = [n.get_value() for n in zi_nums]
+            elif self._wgen_primary is None:
+                self._wgen_primary = _CompiledAugmented(
+                    e2, True, c, pp.ro_consts_circuit_primary, e1.scalar, inputs_primary
+                )
+                cs_primary = self._wgen_primary.cs
+                zi_primary_vals = self._wgen_primary.z_values()
+            else:
+                cs_primary, zi_primary_vals = self._wgen_primary.run(inputs_primary, c)
+        with profiling.phase("commit_primary"):
+            l_u_primary, l_w_primary = cs_primary.r1cs_instance_and_witness(
+                pp.r1cs_shape_primary, pp.ck_primary
             )
-            cs_primary = self._wgen_primary.cs
-            zi_primary_vals = self._wgen_primary.z_values()
-        else:
-            cs_primary, zi_primary_vals = self._wgen_primary.run(inputs_primary, c)
-        l_u_primary, l_w_primary = cs_primary.r1cs_instance_and_witness(
-            pp.r1cs_shape_primary, pp.ck_primary
-        )
 
         # fold the primary circuit's instance
-        nifs_primary, (r_U_primary, r_W_primary) = NIFS.prove(
+        with profiling.phase("nifs_primary"):
+            nifs_primary, (r_U_primary, r_W_primary) = NIFS.prove(
             pp.ck_primary,
             e1,
             pp.digest(),
@@ -414,17 +420,19 @@ class RecursiveSNARK:
             u=l_u_primary,
             T=nifs_primary.comm_T,
         )
-        if self._wgen_secondary is None:
-            self._wgen_secondary = _CompiledAugmented(
-                e1, False, TrivialCircuit(), pp.ro_consts_circuit_secondary,
-                e2.scalar, inputs_secondary,
+        with profiling.phase("synthesize_secondary"):
+            if self._wgen_secondary is None:
+                self._wgen_secondary = _CompiledAugmented(
+                    e1, False, TrivialCircuit(), pp.ro_consts_circuit_secondary,
+                    e2.scalar, inputs_secondary,
+                )
+                cs_secondary = self._wgen_secondary.cs
+            else:
+                cs_secondary, _ = self._wgen_secondary.run(inputs_secondary)
+        with profiling.phase("commit_secondary"):
+            l_u_secondary, l_w_secondary = cs_secondary.r1cs_instance_and_witness(
+                pp.r1cs_shape_secondary, pp.ck_secondary
             )
-            cs_secondary = self._wgen_secondary.cs
-        else:
-            cs_secondary, _ = self._wgen_secondary.run(inputs_secondary)
-        l_u_secondary, l_w_secondary = cs_secondary.r1cs_instance_and_witness(
-            pp.r1cs_shape_secondary, pp.ck_secondary
-        )
 
         self.zi = zi_primary_vals
         self.l_u_secondary = l_u_secondary

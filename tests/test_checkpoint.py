@@ -89,3 +89,25 @@ def test_checkpoint_device_resident_witness(tmp_path):
     raw = serde.dumps({"fv": fv, "hv": hv})
     back = serde.loads(raw)
     assert back["fv"] == vals and back["hv"] == vals
+
+
+def test_profiling_phase_collector():
+    import os
+
+    from nova_tpu import profiling
+
+    with profiling.phases() as ph:
+        with ph("a"):
+            pass
+        with ph("a"):
+            pass
+    assert ph.counts["a"] == 2 and "a" in ph.report()
+    os.environ["NOVA_PROFILE"] = "1"
+    try:
+        profiling.global_reset()
+        with profiling.phase("x"):
+            pass
+        assert "x" in profiling.global_report()
+    finally:
+        del os.environ["NOVA_PROFILE"]
+        profiling.global_reset()
