@@ -1618,6 +1618,134 @@ void sumcheck_quad_round(Ctx* C, const u64* A, const u64* B, size_t half,
   memcpy(out + 4, cf, 32);
 }
 
+// ---------------------------------------------------------------------------
+// Poseidon permutation (hash_optimized_static schedule; the Python
+// reference implementation lives in nova_tpu/provider/poseidon.py:412 —
+// this kernel replicates it operation-for-operation in Montgomery form).
+// ---------------------------------------------------------------------------
+
+struct PoseidonCtx {
+  Ctx* C;
+  int width, half_full, partial;
+  std::vector<u64> crc;       // compressed round constants (Montgomery)
+  std::vector<u64> m;         // width x width (Montgomery, row-major)
+  std::vector<u64> pre;       // pre-sparse matrix (Montgomery, row-major)
+  std::vector<u64> w_hats;    // partial x width
+  std::vector<u64> v_rests;   // partial x (width-1)
+};
+
+void* poseidon_ctx_new(Ctx* C, int width, int half_full, int partial,
+                       const u64* crc, size_t crc_len, const u64* m,
+                       const u64* pre, const u64* w_hats, const u64* v_rests) {
+  PoseidonCtx* P = new PoseidonCtx();
+  P->C = C;
+  P->width = width;
+  P->half_full = half_full;
+  P->partial = partial;
+  auto to_mont_vec = [&](const u64* src_v, size_t n, std::vector<u64>& dst) {
+    dst.resize(4 * n);
+    for (size_t i = 0; i < n; i++) fp_to_mont(*C, src_v + 4 * i, &dst[4 * i]);
+  };
+  to_mont_vec(crc, crc_len, P->crc);
+  to_mont_vec(m, (size_t)width * width, P->m);
+  to_mont_vec(pre, (size_t)width * width, P->pre);
+  to_mont_vec(w_hats, (size_t)partial * width, P->w_hats);
+  to_mont_vec(v_rests, (size_t)partial * (width - 1), P->v_rests);
+  return P;
+}
+
+void poseidon_ctx_free(void* h) { delete (PoseidonCtx*)h; }
+
+// elements: width x 4 limbs, normal form, in/out
+void poseidon_permute(void* h, u64* elements) {
+  PoseidonCtx* P = (PoseidonCtx*)h;
+  const Ctx& C = *P->C;
+  int width = P->width;
+  std::vector<u64> el(4 * width), nx(4 * width);
+  for (int i = 0; i < width; i++) fp_to_mont(C, elements + 4 * i, &el[4 * i]);
+  size_t off = 0;  // crc offset (in elements)
+  int cur_round = 0;
+  int sparse_offset = P->half_full - 1;
+
+  auto sbox = [&](u64* x) {
+    u64 x2[4], x4[4];
+    fp_mul(C, x, x, x2);
+    fp_mul(C, x2, x2, x4);
+    fp_mul(C, x4, x, x);
+  };
+  auto apply_mds = [&]() {
+    if (cur_round == sparse_offset) {
+      // out[j] = sum_i pre[i][j] * el[i]
+      for (int j = 0; j < width; j++) {
+        u64 acc[4] = {0, 0, 0, 0}, t[4];
+        for (int i = 0; i < width; i++) {
+          fp_mul(C, &P->pre[4 * ((size_t)i * width + j)], &el[4 * i], t);
+          fp_add(C, acc, t, acc);
+        }
+        memcpy(&nx[4 * j], acc, 32);
+      }
+      std::swap(el, nx);
+    } else if (cur_round > sparse_offset &&
+               cur_round < P->half_full + P->partial) {
+      int k = cur_round - sparse_offset - 1;
+      const u64* w_hat = &P->w_hats[4 * (size_t)k * width];
+      const u64* v_rest = &P->v_rests[4 * (size_t)k * (width - 1)];
+      u64 acc[4] = {0, 0, 0, 0}, t[4];
+      for (int i = 0; i < width; i++) {
+        fp_mul(C, w_hat + 4 * i, &el[4 * i], t);
+        fp_add(C, acc, t, acc);
+      }
+      memcpy(&nx[0], acc, 32);
+      for (int j = 1; j < width; j++) {
+        fp_mul(C, v_rest + 4 * (j - 1), &el[0], t);
+        fp_add(C, &el[4 * j], t, &nx[4 * j]);
+      }
+      std::swap(el, nx);
+    } else {
+      // out[i] = sum_j m[i][j] * el[j]
+      for (int i = 0; i < width; i++) {
+        u64 acc[4] = {0, 0, 0, 0}, t[4];
+        for (int j = 0; j < width; j++) {
+          fp_mul(C, &P->m[4 * ((size_t)i * width + j)], &el[4 * j], t);
+          fp_add(C, acc, t, acc);
+        }
+        memcpy(&nx[4 * i], acc, 32);
+      }
+      std::swap(el, nx);
+    }
+    cur_round++;
+  };
+
+  for (int i = 0; i < width; i++)
+    fp_add(C, &el[4 * i], &P->crc[4 * (off + i)], &el[4 * i]);
+  off += width;
+  for (int r = 0; r < P->half_full; r++) {
+    for (int i = 0; i < width; i++) {
+      sbox(&el[4 * i]);
+      fp_add(C, &el[4 * i], &P->crc[4 * (off + i)], &el[4 * i]);
+    }
+    off += width;
+    apply_mds();
+  }
+  for (int r = 0; r < P->partial; r++) {
+    sbox(&el[0]);
+    fp_add(C, &el[0], &P->crc[4 * off], &el[0]);
+    off += 1;
+    apply_mds();
+  }
+  for (int r = 1; r < P->half_full; r++) {
+    for (int i = 0; i < width; i++) {
+      sbox(&el[4 * i]);
+      fp_add(C, &el[4 * i], &P->crc[4 * (off + i)], &el[4 * i]);
+    }
+    off += width;
+    apply_mds();
+  }
+  for (int i = 0; i < width; i++) sbox(&el[4 * i]);
+  apply_mds();
+  for (int i = 0; i < width; i++) fp_from_mont(C, &el[4 * i], elements + 4 * i);
+}
+
 // Batch modular inverse via the Montgomery product trick: ~3 muls per
 // element plus ONE Fermat inversion (src/spartan/mod.rs:54-117 analog).
 // Zero entries map to zero (callers guarantee nonzero or tolerate 0).

@@ -47,6 +47,13 @@ def _build() -> Optional[ctypes.CDLL]:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.ctx_new.restype = ctypes.c_void_p
     lib.ctx_new.argtypes = [u64p]
+    lib.poseidon_ctx_new.restype = ctypes.c_void_p
+    lib.poseidon_ctx_new.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u64p, ctypes.c_size_t, u64p, u64p, u64p, u64p,
+    ]
+    lib.poseidon_ctx_free.argtypes = [ctypes.c_void_p]
+    lib.poseidon_permute.argtypes = [ctypes.c_void_p, u64p]
     lib.ctx_free.argtypes = [ctypes.c_void_p]
     for name, extra in [
         ("vec_mulmod", [u64p, u64p, u64p, ctypes.c_size_t]),
@@ -493,6 +500,45 @@ _inv_in = np.zeros(4, dtype=np.uint64)
 _inv_out = np.zeros(4, dtype=np.uint64)
 _inv_in_p = None
 _inv_out_p = None
+
+
+_poseidon_ctx_cache: dict = {}
+
+
+def poseidon_ctx(p: int, width: int, half_full: int, partial: int,
+                 crc, m, pre_sparse, sparse_matrixes):
+    """Native Poseidon permutation context, cached per constants object."""
+    # content-derived key (an id() key could alias after GC reuse)
+    key = (p, width, half_full, partial, len(crc), crc[0], crc[-1])
+    h = _poseidon_ctx_cache.get(key)
+    if h is not None:
+        return h
+    ctx = _ctx(p)
+    lib = _get_lib()
+    crc_l = ints_to_limbs([x % p for x in crc])
+    m_l = ints_to_limbs([m[i][j] % p for i in range(width) for j in range(width)])
+    pre_l = ints_to_limbs(
+        [pre_sparse[i][j] % p for i in range(width) for j in range(width)]
+    )
+    w_hats = []
+    v_rests = []
+    for w_hat, v_rest in sparse_matrixes:
+        w_hats.extend(x % p for x in w_hat)
+        v_rests.extend(x % p for x in v_rest)
+    wh_l = ints_to_limbs(w_hats) if w_hats else np.zeros((1, 4), dtype=np.uint64)
+    vr_l = ints_to_limbs(v_rests) if v_rests else np.zeros((1, 4), dtype=np.uint64)
+    h = lib.poseidon_ctx_new(ctx, width, half_full, partial,
+                             _ptr64(crc_l), len(crc), _ptr64(m_l), _ptr64(pre_l),
+                             _ptr64(wh_l), _ptr64(vr_l))
+    _poseidon_ctx_cache[key] = h
+    return h
+
+
+def poseidon_permute(handle, p: int, elements) -> list:
+    lib = _get_lib()
+    el = ints_to_limbs([x % p for x in elements])
+    lib.poseidon_permute(handle, _ptr64(el))
+    return limbs_to_ints(el)
 
 
 def inv_mod(p: int, a: int) -> int:

@@ -414,6 +414,21 @@ def permute(consts: PoseidonConstants, elements: list) -> list:
     hash_optimized_static (poseidon_inner.rs:316-343)."""
     f = consts.field
     p = f.p
+    from nova_tpu import native
+
+    if native.available():
+        h = getattr(consts, "_native_ctx", None)
+        if h is None:
+            h = native.poseidon_ctx(
+                p, consts.width, consts.half_full_rounds, consts.partial_rounds,
+                consts.compressed_round_constants, consts.m,
+                consts.pre_sparse_matrix, consts.sparse_matrixes,
+            )
+            try:
+                consts._native_ctx = h
+            except AttributeError:
+                pass
+        return native.poseidon_permute(h, p, elements)
     width = consts.width
     crc = consts.compressed_round_constants
     el = list(elements)
