@@ -1012,6 +1012,218 @@ static void msm_pair_rounds_ifma(const Ctx& C, size_t nb,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Vectorized bucket combine: 8 XYZZ lane-chains over the bucket array,
+// then a scalar weighted lane merge. Lane k accumulates buckets
+// b = 8t + k for t = m-1..0 into running T_k and weighted wsum_k; using
+// sum_t t*B = m*T_k - wsum_k, the window sum
+//   sum_b (b+1) B_b = sum_k (8m + k + 1) T_k - 8 * sum_k wsum_k.
+// Degenerate lane adds (equal x) set a flag and the caller falls back to
+// the scalar chain for that window (adversarial bucket collisions).
+// ---------------------------------------------------------------------------
+#pragma GCC push_options
+#pragma GCC target("avx512f,avx512dq,avx512ifma,avx512vl,avx512bw")
+
+extern "C" void inv_mod(Ctx* C, const u64 a[4], u64 out[4]);
+
+struct VXYZZ { V52 X, Y, ZZ, ZZZ; __mmask8 live; };
+
+// returns true on success, false when a degenerate add was flagged
+static bool bucket_combine_ifma(Ctx* C, size_t nb,
+                                const std::vector<u64>& bx_rows,
+                                const std::vector<u64>& by_rows,
+                                const std::vector<uint8_t>& occ_rows,
+                                Jac& total_out) {
+  Jac total;
+  jac_set_identity(total);
+  size_t m = nb / 8;
+  const V52 zero_v = v52_bcast((const u64[5]){0, 0, 0, 0, 0});
+  VXYZZ run, ws;
+  run.X = run.Y = run.ZZ = run.ZZZ = zero_v;
+  ws.X = ws.Y = ws.ZZ = ws.ZZZ = zero_v;
+  run.live = 0;
+  ws.live = 0;
+  __mmask8 bad = 0;
+  u64 blk[40];
+  for (size_t t = m; t-- > 0;) {
+    // load 8 bucket points (lane k = bucket 8t + k)
+    __mmask8 occ = 0;
+    V52 Bx, By;
+    for (int l = 0; l < 5; l++) {
+      for (int k = 0; k < 8; k++) blk[8 * l + k] = bx_rows[5 * (8 * t + k) + l];
+    }
+    Bx = v52_load_blk(blk);
+    for (int l = 0; l < 5; l++) {
+      for (int k = 0; k < 8; k++) blk[8 * l + k] = by_rows[5 * (8 * t + k) + l];
+    }
+    By = v52_load_blk(blk);
+    for (int k = 0; k < 8; k++) occ |= (occ_rows[8 * t + k] ? 1 : 0) << k;
+
+    if (occ) {
+      // running += B (mixed add; identity lanes assign)
+      __mmask8 fresh = occ & (__mmask8)~run.live;
+      __mmask8 addm = occ & run.live;
+      if (addm) {
+        V52 U2 = v52_mont_mul(*C, Bx, run.ZZ);
+        V52 S2 = v52_mont_mul(*C, By, run.ZZZ);
+        V52 Pd = v52_sub(*C, U2, run.X);
+        V52 Rd = v52_sub(*C, S2, run.Y);
+        bad |= addm & v52_iszero(Pd);
+        V52 PP = v52_mont_mul(*C, Pd, Pd);
+        V52 PPP = v52_mont_mul(*C, Pd, PP);
+        V52 Q = v52_mont_mul(*C, run.X, PP);
+        V52 R2 = v52_mont_mul(*C, Rd, Rd);
+        V52 X3 = v52_sub(*C, v52_sub(*C, R2, PPP), v52_add(*C, Q, Q));
+        V52 Y3 = v52_sub(*C, v52_mont_mul(*C, Rd, v52_sub(*C, Q, X3)),
+                         v52_mont_mul(*C, run.Y, PPP));
+        V52 ZZ3 = v52_mont_mul(*C, run.ZZ, PP);
+        V52 ZZZ3 = v52_mont_mul(*C, run.ZZZ, PPP);
+        run.X = v52_blend(addm, run.X, X3);
+        run.Y = v52_blend(addm, run.Y, Y3);
+        run.ZZ = v52_blend(addm, run.ZZ, ZZ3);
+        run.ZZZ = v52_blend(addm, run.ZZZ, ZZZ3);
+      }
+      if (fresh) {
+        const V52 one_v = v52_bcast(C->one52);
+        run.X = v52_blend(fresh, run.X, Bx);
+        run.Y = v52_blend(fresh, run.Y, By);
+        run.ZZ = v52_blend(fresh, run.ZZ, one_v);
+        run.ZZZ = v52_blend(fresh, run.ZZZ, one_v);
+        run.live |= fresh;
+      }
+    }
+    // wsum += running (full XYZZ add; identity lanes assign)
+    __mmask8 fresh2 = run.live & (__mmask8)~ws.live;
+    __mmask8 addm2 = run.live & ws.live;
+    if (addm2) {
+      V52 U1 = v52_mont_mul(*C, ws.X, run.ZZ);
+      V52 U2 = v52_mont_mul(*C, run.X, ws.ZZ);
+      V52 S1 = v52_mont_mul(*C, ws.Y, run.ZZZ);
+      V52 S2 = v52_mont_mul(*C, run.Y, ws.ZZZ);
+      V52 Pd = v52_sub(*C, U2, U1);
+      V52 Rd = v52_sub(*C, S2, S1);
+      __mmask8 pz = addm2 & v52_iszero(Pd);
+      __mmask8 dblm = pz & v52_iszero(Rd);
+      bad |= pz & (__mmask8)~dblm;  // true cancellation: fall back
+      V52 PP = v52_mont_mul(*C, Pd, Pd);
+      V52 PPP = v52_mont_mul(*C, Pd, PP);
+      V52 Q = v52_mont_mul(*C, U1, PP);
+      V52 R2 = v52_mont_mul(*C, Rd, Rd);
+      V52 X3 = v52_sub(*C, v52_sub(*C, R2, PPP), v52_add(*C, Q, Q));
+      V52 Y3 = v52_sub(*C, v52_mont_mul(*C, Rd, v52_sub(*C, Q, X3)),
+                       v52_mont_mul(*C, S1, PPP));
+      V52 ZZc = v52_mont_mul(*C, ws.ZZ, run.ZZ);
+      V52 ZZ3 = v52_mont_mul(*C, ZZc, PP);
+      V52 ZZZc = v52_mont_mul(*C, ws.ZZZ, run.ZZZ);
+      V52 ZZZ3 = v52_mont_mul(*C, ZZZc, PPP);
+      __mmask8 addonly = addm2 & (__mmask8)~dblm;
+      ws.X = v52_blend(addonly, ws.X, X3);
+      ws.Y = v52_blend(addonly, ws.Y, Y3);
+      ws.ZZ = v52_blend(addonly, ws.ZZ, ZZ3);
+      ws.ZZZ = v52_blend(addonly, ws.ZZZ, ZZZ3);
+      if (dblm) {
+        // XYZZ doubling of ws (== running on those lanes): U=2Y, V=U^2,
+        // W=U*V, S=X*V, M=3X^2, X3=M^2-2S, Y3=M*(S-X3)-W*Y, ZZ*=V, ZZZ*=W
+        V52 U = v52_add(*C, ws.Y, ws.Y);
+        V52 V = v52_mont_mul(*C, U, U);
+        V52 W = v52_mont_mul(*C, U, V);
+        V52 Sd = v52_mont_mul(*C, ws.X, V);
+        V52 XX = v52_mont_mul(*C, ws.X, ws.X);
+        V52 M = v52_add(*C, v52_add(*C, XX, XX), XX);
+        V52 M2 = v52_mont_mul(*C, M, M);
+        V52 X3d = v52_sub(*C, M2, v52_add(*C, Sd, Sd));
+        V52 Y3d = v52_sub(*C, v52_mont_mul(*C, M, v52_sub(*C, Sd, X3d)),
+                          v52_mont_mul(*C, W, ws.Y));
+        V52 ZZ3d = v52_mont_mul(*C, V, ws.ZZ);
+        V52 ZZZ3d = v52_mont_mul(*C, W, ws.ZZZ);
+        ws.X = v52_blend(dblm, ws.X, X3d);
+        ws.Y = v52_blend(dblm, ws.Y, Y3d);
+        ws.ZZ = v52_blend(dblm, ws.ZZ, ZZ3d);
+        ws.ZZZ = v52_blend(dblm, ws.ZZZ, ZZZ3d);
+      }
+    }
+    if (fresh2) {
+      ws.X = v52_blend(fresh2, ws.X, run.X);
+      ws.Y = v52_blend(fresh2, ws.Y, run.Y);
+      ws.ZZ = v52_blend(fresh2, ws.ZZ, run.ZZ);
+      ws.ZZZ = v52_blend(fresh2, ws.ZZZ, run.ZZZ);
+      ws.live |= fresh2;
+    }
+  }
+  if (bad) return false;
+
+  // extract lanes, convert to 64-limb Montgomery Jacobian, combine:
+  // S = sum_k (8m + k + 1) T_k - 8 * sum_k wsum_k
+  auto lane_to_jac = [&](const VXYZZ& v, int k, Jac& out) -> bool {
+    if (!((v.live >> k) & 1)) { jac_set_identity(out); return true; }
+    u64 buf2[40];
+    u64 x52[5], y52[5], zz52[5], zzz52[5];
+    v52_store_blk(buf2, v.X);
+    for (int l = 0; l < 5; l++) x52[l] = buf2[8 * l + k];
+    v52_store_blk(buf2, v.Y);
+    for (int l = 0; l < 5; l++) y52[l] = buf2[8 * l + k];
+    v52_store_blk(buf2, v.ZZ);
+    for (int l = 0; l < 5; l++) zz52[l] = buf2[8 * l + k];
+    v52_store_blk(buf2, v.ZZZ);
+    for (int l = 0; l < 5; l++) zzz52[l] = buf2[8 * l + k];
+    // affine: x = X/ZZ, y = Y/ZZZ (normal-form math via 64-limb kernels)
+    u64 xn[4], yn[4], zzn[4], zzzn[4];
+    s52_from_mont(*C, x52, xn);
+    s52_from_mont(*C, y52, yn);
+    s52_from_mont(*C, zz52, zzn);
+    s52_from_mont(*C, zzz52, zzzn);
+    u64 zzi[4], zzzi[4];
+    inv_mod(C, zzn, zzi);
+    inv_mod(C, zzzn, zzzi);
+    u64 xm[4], ym[4], t1[4], t2[4];
+    fp_to_mont(*C, xn, t1);
+    fp_to_mont(*C, zzi, t2);
+    fp_mul(*C, t1, t2, xm);          // (x*R)(zzi*R)R^-1 = x*zzi*R: Montgomery
+    fp_to_mont(*C, yn, t1);
+    fp_to_mont(*C, zzzi, t2);
+    fp_mul(*C, t1, t2, ym);
+    Jac j;
+    jac_set_identity(j);
+    jac_madd(*C, j, xm, ym, false, j);
+    out = j;
+    return true;
+  };
+  // lane-chain algebra: wsum_k = sum_t (t+1) B_{8t+k} (a bucket added at
+  // step t survives t+1 wsum additions), T_k = sum_t B_{8t+k}, so
+  //   sum_b (b+1) B_b = 8 * sum_k wsum_k - sum_k (7-k) * T_k.
+  Jac wsum_total;
+  jac_set_identity(wsum_total);
+  for (int k = 0; k < 8; k++) {
+    Jac Tk, Wk;
+    lane_to_jac(run, k, Tk);
+    lane_to_jac(ws, k, Wk);
+    jac_add(*C, wsum_total, Wk, wsum_total);
+    u64 w = (u64)(7 - k);
+    if (w && !jac_is_identity(Tk)) {
+      // subtract w * Tk: negate Y, double-and-add (w <= 7)
+      u64 negY[4];
+      fp_sub(*C, C->p, Tk.Y, negY);  // negation is domain-agnostic mod p
+      memcpy(Tk.Y, negY, 32);
+      Jac acc;
+      jac_set_identity(acc);
+      for (int bit = 2; bit >= 0; bit--) {
+        jac_dbl(*C, acc, acc);
+        if ((w >> bit) & 1) jac_add(*C, acc, Tk, acc);
+      }
+      jac_add(*C, total, acc, total);
+    }
+  }
+  // total += 8 * wsum_total
+  jac_dbl(*C, wsum_total, wsum_total);
+  jac_dbl(*C, wsum_total, wsum_total);
+  jac_dbl(*C, wsum_total, wsum_total);
+  jac_add(*C, total, wsum_total, total);
+  jac_add(*C, total_out, total, total_out);
+  return true;
+}
+
+#pragma GCC pop_options
+
 // Full window loop for the IFMA path: points live as (n,5) 52-limb
 // canonical Montgomery rows end to end; buckets convert to the 64-limb
 // Jacobian domain only for the final running/weighted reduction.
@@ -1082,24 +1294,40 @@ static void msm_windows_ifma(Ctx* C, const std::vector<u64>& xs_n,
                          mx52.data(), my52.data(), myneg52.data(),
                          slot_src.data());
     tw0 = std::chrono::steady_clock::now();
-    Jac running, wsum;
-    jac_set_identity(running);
-    jac_set_identity(wsum);
-    for (size_t b = nb; b-- > 0;) {
+    // collect bucket values (52-limb Montgomery rows) + occupancy
+    static std::vector<u64> brow_x, brow_y;
+    static std::vector<uint8_t> brow_occ;
+    brow_x.resize(5 * nb);
+    brow_y.resize(5 * nb);
+    brow_occ.assign(nb, 0);
+    for (size_t b = 0; b < nb; b++) {
       uint32_t s = seg_start[b], k = seg_len[b];
       for (uint32_t t = 0; t < k; t++) {
         if (dead_a[s + t]) continue;
-        u64 x64[4], y64[4], xm[4], ym[4];
-        s52_from_mont(*C, &ax[5 * (s + t)], x64);
-        s52_from_mont(*C, &ay[5 * (s + t)], y64);
-        fp_to_mont(*C, x64, xm);
-        fp_to_mont(*C, y64, ym);
-        jac_madd(*C, running, xm, ym, false, running);
+        memcpy(&brow_x[5 * b], &ax[5 * (s + t)], 40);
+        memcpy(&brow_y[5 * b], &ay[5 * (s + t)], 40);
+        brow_occ[b] = 1;
         break;
       }
-      jac_add(*C, wsum, running, wsum);
     }
-    jac_add(*C, total, wsum, total);
+    if (nb < 16 || !bucket_combine_ifma(C, nb, brow_x, brow_y, brow_occ, total)) {
+      // scalar fallback (tiny nb, or a degenerate lane add was flagged)
+      Jac running, wsum;
+      jac_set_identity(running);
+      jac_set_identity(wsum);
+      for (size_t b = nb; b-- > 0;) {
+        if (brow_occ[b]) {
+          u64 x64[4], y64[4], xm[4], ym[4];
+          s52_from_mont(*C, &brow_x[5 * b], x64);
+          s52_from_mont(*C, &brow_y[5 * b], y64);
+          fp_to_mont(*C, x64, xm);
+          fp_to_mont(*C, y64, ym);
+          jac_madd(*C, running, xm, ym, false, running);
+        }
+        jac_add(*C, wsum, running, wsum);
+      }
+      jac_add(*C, total, wsum, total);
+    }
     g_t_bucket += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tw0).count();
   }
   if (prof)
@@ -1167,7 +1395,7 @@ static void msm_core(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
   // pick window size minimizing the measured-cost model (ns):
   bool ifma = ifma_available();
   double k_pair = ifma ? 100.0 : 500.0;
-  double k_bkt = ifma ? 1700.0 : 810.0;
+  double k_bkt = ifma ? 380.0 : 810.0;  // vectorized bucket chains
   int c_best = 4;
   double cost_best = 1e300;
   for (int c = 4; c <= 15; c++) {
