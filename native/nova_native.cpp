@@ -2241,4 +2241,57 @@ void ec_mul_many(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
   batch_to_affine(*C, out, ox, oy, oinf);
 }
 
+// Fixed-base batch exponentiation: out[i] = ks[i] * G for one shared
+// base (reference fixed_base_exp_comb_batch, hyperkzg.rs:443 — used by
+// powers-of-tau setup). Precomputes 8-bit window tables T[w][d] =
+// d*2^(8w)*G once, then each scalar costs 32 mixed adds.
+void ec_fixed_mul_many(Ctx* C, const u64 gx[4], const u64 gy[4],
+                       const u64* ks, size_t n, u64* ox, u64* oy,
+                       uint8_t* oinf) {
+  const int W = 32, D = 256;
+  u64 mgx[4], mgy[4];
+  fp_to_mont(*C, gx, mgx);
+  fp_to_mont(*C, gy, mgy);
+  // build tables in Jacobian, then batch-normalize to affine Montgomery
+  std::vector<Jac> tab((size_t)W * D);
+  Jac base;
+  jac_set_identity(base);
+  jac_madd(*C, base, mgx, mgy, false, base);
+  for (int w = 0; w < W; w++) {
+    jac_set_identity(tab[(size_t)w * D]);          // d = 0 -> identity
+    tab[(size_t)w * D + 1] = base;
+    for (int d = 2; d < D; d++)
+      jac_add(*C, tab[(size_t)w * D + d - 1], base, tab[(size_t)w * D + d]);
+    // base <<= 8 bits
+    Jac nb = tab[(size_t)w * D + D - 1];
+    jac_add(*C, nb, base, nb);                     // 256 * base
+    base = nb;
+  }
+  std::vector<u64> tx(4 * tab.size()), ty(4 * tab.size());
+  std::vector<uint8_t> tinf(tab.size());
+  batch_to_affine(*C, tab, tx.data(), ty.data(), tinf.data());
+  // jac_madd wants Montgomery affine operands
+  for (size_t i = 0; i < tab.size(); i++) {
+    if (tinf[i]) continue;
+    fp_to_mont(*C, &tx[4 * i], &tx[4 * i]);
+    fp_to_mont(*C, &ty[4 * i], &ty[4 * i]);
+  }
+
+  std::vector<Jac> out(n);
+  for (size_t i = 0; i < n; i++) {
+    Jac acc;
+    jac_set_identity(acc);
+    const u64* k = ks + 4 * i;
+    for (int w = 0; w < W; w++) {
+      int limb = w / 8, ofs = (w % 8) * 8;
+      unsigned d = (unsigned)((k[limb] >> ofs) & 0xFF);
+      if (!d) continue;
+      size_t idx = (size_t)w * D + d;
+      if (!tinf[idx]) jac_madd(*C, acc, &tx[4 * idx], &ty[4 * idx], false, acc);
+    }
+    out[i] = acc;
+  }
+  batch_to_affine(*C, out, ox, oy, oinf);
+}
+
 }  // extern "C"

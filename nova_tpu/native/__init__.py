@@ -85,6 +85,7 @@ def _build() -> Optional[ctypes.CDLL]:
         ("ec_fold", [u64p, u64p, u8p, u64p, u64p, u8p, u64p, u64p,
                      ctypes.c_size_t, u64p, u64p, u8p]),
         ("ec_scale", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
+        ("ec_fixed_mul_many", [u64p, u64p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
         ("ec_mul_many", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
     ]:
         fn = getattr(lib, name)
@@ -227,6 +228,24 @@ def msm_cached(curve, arrays, scalars: Sequence[int], indices=None):
         int.from_bytes(ox.astype("<u8").tobytes(), "little"),
         int.from_bytes(oy.astype("<u8").tobytes(), "little"),
     )
+
+
+def ec_fixed_mul_many(base, scalars):
+    """[k * base for k in scalars] with one shared fixed-base window table
+    (reference fixed_base_exp_comb_batch, hyperkzg.rs:443)."""
+    curve = base.curve
+    ctx = _ctx(curve.base.p)
+    lib = _get_lib()
+    n = len(scalars)
+    gx = ints_to_limbs([base.x])
+    gy = ints_to_limbs([base.y])
+    ks = ints_to_limbs([s % curve.scalar.p for s in scalars])
+    ox = np.zeros((n, 4), dtype=np.uint64)
+    oy = np.zeros((n, 4), dtype=np.uint64)
+    oinf = np.zeros(n, dtype=np.uint8)
+    lib.ec_fixed_mul_many(ctx, _ptr64(gx), _ptr64(gy), _ptr64(ks), n,
+                          _ptr64(ox), _ptr64(oy), _ptr8(oinf))
+    return _arrays_to_points(curve, ox, oy, oinf)
 
 
 def ec_fold(L, R, w1: int, w2: int):

@@ -58,7 +58,9 @@ def setup_from_tau(tau: int, n: int) -> Tuple[CommitmentKey, G2Point]:
         powers.append(cur)
         cur = cur * tau % r
     if native.available():
-        pts = native.ec_mul_many([g] * n_pow2, powers)
+        # fixed-base window tables: one shared precompute, 32 mixed adds
+        # per power (reference fixed_base_exp_comb_batch, hyperkzg.rs:443)
+        pts = native.ec_fixed_mul_many(g, powers)
     else:
         pts = [g.mul(s) for s in powers]
     # blinding generator from hash-to-curve, never a known multiple of G
