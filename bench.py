@@ -113,7 +113,11 @@ def main() -> None:
         pts_per_sec = bench_msm()
         backend = "tpu"
     else:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # env var alone does not beat the axon plugin; pin the config too
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         pts_per_sec = bench_msm_host()
         backend = "host-fallback (accelerator unavailable)"
     baseline = (1 << 20) / 0.192  # reference msm_best datum
@@ -121,12 +125,12 @@ def main() -> None:
     if not os.environ.get("NOVA_BENCH_FAST"):
         try:
             fold_ms, compress_s = bench_fold_and_compress()
-            extra = {
-                "fold_step_ms": round(fold_ms, 1),
-                "compressed_snark_prove_s": round(compress_s, 2),
-            }
+            extra.update(
+                fold_step_ms=round(fold_ms, 1),
+                compressed_snark_prove_s=round(compress_s, 2),
+            )
         except Exception as e:  # pragma: no cover
-            extra = {"error": f"{type(e).__name__}: {e}"[:200]}
+            extra["error"] = f"{type(e).__name__}: {e}"[:200]
     print(
         json.dumps(
             {
