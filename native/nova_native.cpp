@@ -1846,6 +1846,88 @@ void sumcheck_quad_round(Ctx* C, const u64* A, const u64* B, size_t half,
   memcpy(out + 4, cf, 32);
 }
 
+// NeutronNova NIFS round evaluations (src/neutron/nifs.rs:28-186 analog):
+// 5 evaluation points {0,2,3,4,5} of the degree-4 zero-fold polynomial,
+// with the eq table split into left (e) and right (f) tensor halves.
+// e1/e2: left+right entries each; Az/Bz/Cz: left*right entries.
+// out = 20 limbs (sums at the 5 points, BEFORE the eq(rho,t) factors).
+void neutron_round(Ctx* C, const u64* e1, const u64* e2,
+                   const u64* Az1, const u64* Bz1, const u64* Cz1,
+                   const u64* Az2, const u64* Bz2, const u64* Cz2,
+                   size_t left, size_t right, u64* out) {
+  u64 sums[5][4];
+  memset(sums, 0, sizeof(sums));
+  const u64* f1 = e1 + 4 * left;
+  const u64* f2 = e2 + 4 * left;
+  for (size_t i = 0; i < right; i++) {
+    u64 inner[5][4];
+    memset(inner, 0, sizeof(inner));
+    size_t base = i * left;
+    for (size_t j = 0; j < left; j++) {
+      size_t k = base + j;
+      u64 ev[4], av[4], bv[4], cv[4], de[4], da[4], db[4], dc[4];
+      memcpy(ev, e1 + 4 * j, 32);
+      memcpy(av, Az1 + 4 * k, 32);
+      memcpy(bv, Bz1 + 4 * k, 32);
+      memcpy(cv, Cz1 + 4 * k, 32);
+      fp_sub(*C, e2 + 4 * j, ev, de);
+      fp_sub(*C, Az2 + 4 * k, av, da);
+      fp_sub(*C, Bz2 + 4 * k, bv, db);
+      fp_sub(*C, Cz2 + 4 * k, cv, dc);
+      u64 am[4], t[4];
+      // t = 0
+      fp_to_mont(*C, av, am);
+      fp_mul(*C, am, bv, t);
+      fp_sub(*C, t, cv, t);
+      fp_to_mont(*C, ev, am);
+      fp_mul(*C, am, t, t);
+      fp_add(*C, inner[0], t, inner[0]);
+      // walk t = 2 (double step), then 3, 4, 5
+      u64 de2[4], da2[4], db2[4], dc2[4];
+      fp_add(*C, de, de, de2);
+      fp_add(*C, da, da, da2);
+      fp_add(*C, db, db, db2);
+      fp_add(*C, dc, dc, dc2);
+      fp_add(*C, ev, de2, ev);
+      fp_add(*C, av, da2, av);
+      fp_add(*C, bv, db2, bv);
+      fp_add(*C, cv, dc2, cv);
+      for (int pt = 1; pt < 5; pt++) {
+        fp_to_mont(*C, av, am);
+        fp_mul(*C, am, bv, t);
+        fp_sub(*C, t, cv, t);
+        fp_to_mont(*C, ev, am);
+        fp_mul(*C, am, t, t);
+        fp_add(*C, inner[pt], t, inner[pt]);
+        if (pt < 4) {
+          fp_add(*C, ev, de, ev);
+          fp_add(*C, av, da, av);
+          fp_add(*C, bv, db, bv);
+          fp_add(*C, cv, dc, cv);
+        }
+      }
+    }
+    // weight by the f (right) half, walked the same way
+    u64 fv[4], df[4];
+    memcpy(fv, f1 + 4 * i, 32);
+    fp_sub(*C, f2 + 4 * i, fv, df);
+    u64 am[4], t[4];
+    fp_to_mont(*C, fv, am);
+    fp_mul(*C, am, inner[0], t);
+    fp_add(*C, sums[0], t, sums[0]);
+    u64 df2[4];
+    fp_add(*C, df, df, df2);
+    fp_add(*C, fv, df2, fv);
+    for (int pt = 1; pt < 5; pt++) {
+      fp_to_mont(*C, fv, am);
+      fp_mul(*C, am, inner[pt], t);
+      fp_add(*C, sums[pt], t, sums[pt]);
+      if (pt < 4) fp_add(*C, fv, df, fv);
+    }
+  }
+  for (int pt = 0; pt < 5; pt++) memcpy(out + 4 * pt, sums[pt], 32);
+}
+
 // ---------------------------------------------------------------------------
 // Poseidon permutation (hash_optimized_static schedule; the Python
 // reference implementation lives in nova_tpu/provider/poseidon.py:412 —

@@ -71,6 +71,8 @@ def _build() -> Optional[ctypes.CDLL]:
         ("vec_sat_check", [u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_batch_inv", [u64p, u64p, ctypes.c_size_t]),
         ("inv_mod", [u64p, u64p]),
+        ("neutron_round", [u64p, u64p, u64p, u64p, u64p, u64p, u64p, u64p,
+                           ctypes.c_size_t, ctypes.c_size_t, u64p]),
         ("eq_evals", [u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_cubic_round", [u64p, u64p, u64p, u64p, ctypes.c_size_t, u64p]),
         ("sumcheck_quad_round", [u64p, u64p, ctypes.c_size_t, u64p]),
@@ -519,6 +521,17 @@ _inv_in = np.zeros(4, dtype=np.uint64)
 _inv_out = np.zeros(4, dtype=np.uint64)
 _inv_in_p = None
 _inv_out_p = None
+
+
+def neutron_round_l(p: int, e1, e2, Az1, Bz1, Cz1, Az2, Bz2, Cz2,
+                    left: int, right: int) -> list:
+    """Neutron NIFS 5-point round sums (pre-eq-factor), limb arrays in."""
+    ctx = _ctx(p)
+    lib = _get_lib()
+    out = np.zeros((5, 4), dtype=np.uint64)
+    args = [np.ascontiguousarray(a) for a in (e1, e2, Az1, Bz1, Cz1, Az2, Bz2, Cz2)]
+    lib.neutron_round(ctx, *[_ptr64(a) for a in args], left, right, _ptr64(out))
+    return limbs_to_ints(out)
 
 
 _poseidon_ctx_cache: dict = {}

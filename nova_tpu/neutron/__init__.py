@@ -123,6 +123,26 @@ class NIFS:
         (nifs.rs:28-186): linear extension between instance 1 (t=0) and
         instance 2 (t=1), weighted by eq(rho, t)."""
         p = field.p
+        from nova_tpu import native
+
+        if native.available() and left * right >= 64:
+            from nova_tpu.r1cs import _vec_limbs
+
+            sums = native.neutron_round_l(
+                p,
+                _vec_limbs(e1, p), _vec_limbs(e2, p),
+                _vec_limbs(Az1, p), _vec_limbs(Bz1, p), _vec_limbs(Cz1, p),
+                _vec_limbs(Az2, p), _vec_limbs(Bz2, p), _vec_limbs(Cz2, p),
+                left, right,
+            )
+            factors = [
+                (1 - rho) % p,
+                (3 * rho - 1) % p,
+                (5 * rho - 2) % p,
+                (7 * rho - 3) % p,
+                (9 * rho - 4) % p,
+            ]
+            return [s * f % p for s, f in zip(sums, factors)]
         sums = [0, 0, 0, 0, 0]  # at 0, 2, 3, 4, 5
         f1, f2 = e1[left:], e2[left:]
         for i in range(right):

@@ -63,3 +63,33 @@ def test_neutron_ivc_e2e():
     assert rs.verify(pp, 3, [1]) == [1]
     with pytest.raises(NovaError):
         rs.verify(pp, 4, [1])
+
+
+def test_neutron_round_kernel_matches_python():
+    """The native 5-point round kernel must match the pure-Python helper."""
+    import random
+
+    from nova_tpu import native
+    from nova_tpu.neutron import NIFS
+    from nova_tpu.provider.engines import PallasEngine
+
+    f = PallasEngine.scalar
+    p = f.p
+    rng = random.Random(7)
+    left, right = 16, 8
+    n = left * right
+    mk = lambda m: [rng.randrange(p) for _ in range(m)]
+    e1, e2 = mk(left + right), mk(left + right)
+    Az1, Bz1, Cz1 = mk(n), mk(n), mk(n)
+    Az2, Bz2, Cz2 = mk(n), mk(n), mk(n)
+    rho = rng.randrange(p)
+    got = NIFS._prove_helper(f, rho, left, right, e1, Az1, Bz1, Cz1,
+                             e2, Az2, Bz2, Cz2)
+    orig = native.available
+    native.available = lambda: False
+    try:
+        ref = NIFS._prove_helper(f, rho, left, right, e1, Az1, Bz1, Cz1,
+                                 e2, Az2, Bz2, Cz2)
+    finally:
+        native.available = orig
+    assert got == ref
