@@ -1015,9 +1015,10 @@ static void msm_pair_rounds_ifma(const Ctx& C, size_t nb,
 // ---------------------------------------------------------------------------
 // Vectorized bucket combine: 8 XYZZ lane-chains over the bucket array,
 // then a scalar weighted lane merge. Lane k accumulates buckets
-// b = 8t + k for t = m-1..0 into running T_k and weighted wsum_k; using
-// sum_t t*B = m*T_k - wsum_k, the window sum
-//   sum_b (b+1) B_b = sum_k (8m + k + 1) T_k - 8 * sum_k wsum_k.
+// b = 8t + k for t = m-1..0 into running T_k and weighted wsum_k
+// (a bucket added at step t survives t+1 wsum additions, so
+// wsum_k = sum_t (t+1) B_{8t+k}); the window sum is
+//   sum_b (b+1) B_b = 8 * sum_k wsum_k - sum_k (7-k) T_k.
 // Degenerate lane adds (equal x) set a flag and the caller falls back to
 // the scalar chain for that window (adversarial bucket collisions).
 // ---------------------------------------------------------------------------
@@ -1153,7 +1154,7 @@ static bool bucket_combine_ifma(Ctx* C, size_t nb,
   if (bad) return false;
 
   // extract lanes, convert to 64-limb Montgomery Jacobian, combine:
-  // S = sum_k (8m + k + 1) T_k - 8 * sum_k wsum_k
+  // S = 8 * sum_k wsum_k - sum_k (7-k) T_k
   auto lane_to_jac = [&](const VXYZZ& v, int k, Jac& out) -> bool {
     if (!((v.live >> k) & 1)) { jac_set_identity(out); return true; }
     u64 buf2[40];

@@ -540,8 +540,11 @@ _poseidon_ctx_cache: dict = {}
 def poseidon_ctx(p: int, width: int, half_full: int, partial: int,
                  crc, m, pre_sparse, sparse_matrixes):
     """Native Poseidon permutation context, cached per constants object."""
-    # content-derived key (an id() key could alias after GC reuse)
-    key = (p, width, half_full, partial, len(crc), crc[0], crc[-1])
+    # content-derived key covering the matrices too (constants bundles
+    # differing only in MDS/sparse matrices must not alias)
+    key = (p, width, half_full, partial, len(crc), crc[0], crc[-1],
+           m[0][0], pre_sparse[0][0], len(sparse_matrixes),
+           sparse_matrixes[0][0][0] if sparse_matrixes else 0)
     h = _poseidon_ctx_cache.get(key)
     if h is not None:
         return h
@@ -566,9 +569,13 @@ def poseidon_ctx(p: int, width: int, half_full: int, partial: int,
     return h
 
 
-def poseidon_permute(handle, p: int, elements) -> list:
+def poseidon_permute(handle, p: int, elements, width: int = None) -> list:
     lib = _get_lib()
     el = ints_to_limbs([x % p for x in elements])
+    if width is not None:
+        # the C kernel reads/writes exactly `width` rows; fail loudly here
+        # instead of corrupting the heap
+        assert len(elements) == width, (len(elements), width)
     lib.poseidon_permute(handle, _ptr64(el))
     return limbs_to_ints(el)
 

@@ -29,7 +29,7 @@ import contextlib
 import os
 import time
 from collections import defaultdict
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 
 class PhaseCollector:
@@ -79,7 +79,9 @@ def phase(name: str) -> Iterator[None]:
 
 @contextlib.contextmanager
 def phases() -> Iterator[PhaseCollector]:
-    """A fresh local collector, independent of NOVA_PROFILE."""
+    """A fresh local collector, independent of NOVA_PROFILE. (Context
+    form kept for symmetry with the collector's own `with ph(name)`
+    usage; exiting the block has no side effects.)"""
     yield PhaseCollector()
 
 
@@ -93,7 +95,7 @@ def global_reset() -> None:
 
 
 @contextlib.contextmanager
-def device_trace(log_dir: str, host_tracer_level: Optional[int] = None):
+def device_trace(log_dir: str):
     """jax.profiler trace around a device-side region (view the result
     with TensorBoard or xprof; works on the TPU backend and on XLA:CPU)."""
     import jax

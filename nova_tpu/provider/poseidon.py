@@ -428,7 +428,7 @@ def permute(consts: PoseidonConstants, elements: list) -> list:
                 consts._native_ctx = h
             except AttributeError:
                 pass
-        return native.poseidon_permute(h, p, elements)
+        return native.poseidon_permute(h, p, elements, width=consts.width)
     width = consts.width
     crc = consts.compressed_round_constants
     el = list(elements)

@@ -73,6 +73,10 @@ def test_neutron_round_kernel_matches_python():
     from nova_tpu.neutron import NIFS
     from nova_tpu.provider.engines import PallasEngine
 
+    import pytest
+
+    if not native.available():
+        pytest.skip("native library unavailable; both paths identical")
     f = PallasEngine.scalar
     p = f.p
     rng = random.Random(7)
