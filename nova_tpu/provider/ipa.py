@@ -81,7 +81,9 @@ class InnerProductArgument:
         a_hvec = a_vec if isinstance(a_vec, HVec) else None
         if a_hvec is None:
             a_vec = [x % p for x in a_vec]
-        b_vec = [x % p for x in U.b_vec]
+        b_hvec = U.b_vec if isinstance(U.b_vec, HVec) else None
+        if b_hvec is None:
+            b_vec = [x % p for x in U.b_vec]
 
         # Folded-key-free prover. The reference folds the commitment key
         # every round (ipa_pc.rs:158-390: ck.fold(r_inv, r)); that costs
@@ -114,7 +116,7 @@ class InnerProductArgument:
             ainf = np.concatenate([ginf[:N], cinf])
             arrays = (ax_, ay_, ainf)
             a = a_hvec.limbs64() if a_hvec is not None else native.ints_to_limbs(a_vec)
-            b = native.ints_to_limbs(b_vec)
+            b = b_hvec.limbs64() if b_hvec is not None else native.ints_to_limbs(b_vec)
             w = native.ints_to_limbs([1] * N)
             kidx = np.arange(N, dtype=np.uint32)
             extra = np.array([N], dtype=np.uint32)
@@ -153,6 +155,8 @@ class InnerProductArgument:
         # Pure-Python fallback: same math on int lists.
         if a_hvec is not None:
             a_vec = a_hvec.to_ints()
+        if b_hvec is not None:
+            b_vec = b_hvec.to_ints()
         w = [1] * N
         for _ in range(rounds):
             n = len(a_vec)
@@ -284,9 +288,9 @@ class EvaluationEngine:
         eval_v: int,
     ) -> InnerProductArgument:
         field = engine.scalar
-        b_vec = EqPolynomial.evals_from_points(field, list(point))
+        b_vec = EqPolynomial.evals_hvec(field, list(point))
         U = InnerProductInstance(comm, b_vec, eval_v)
-        return InnerProductArgument.prove(field, ck, pk.ck_s, U, list(poly), transcript)
+        return InnerProductArgument.prove(field, ck, pk.ck_s, U, poly, transcript)
 
     @staticmethod
     def verify(
