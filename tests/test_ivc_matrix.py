@@ -126,3 +126,33 @@ def test_ivc_with_ppsnark_compression(pps):
     proof = CompressedSNARK.prove(pp, pk, rs)
     zn = proof.verify(vk, 2, [2])
     assert zn == rs.zi
+
+
+def test_ivc_with_hyperkzg_compression(tmp_path):
+    """BN254/Grumpkin IVC compressed with HyperKZG on the pairing-friendly
+    primary (the reference's headline compressed-snark config,
+    benches/compressed-snark.rs + src/nova/mod.rs setup_with_ptau_dir):
+    test ptau file -> KZG commitment key -> snark(S1 with HyperKZG EE) +
+    snark(S2 with IPA)."""
+    import secrets
+
+    from nova_tpu.curves.spec import bn254
+    from nova_tpu.provider import ptau
+    from nova_tpu.provider.hyperkzg import EvaluationEngine as KZG
+
+    power = 15
+    path = tmp_path / f"ppot_pruned_{power:02d}.ptau"
+    tau = secrets.randbelow(bn254.scalar.p)
+    ptau.write_test_ptau(str(path), tau, power)
+
+    c = CubicCircuit()
+    pp = PublicParams.setup_with_ptau_dir(
+        Bn256EngineIPA, GrumpkinEngine, c, str(tmp_path)
+    )
+    rs = RecursiveSNARK.new(pp, c, [2])
+    for _ in range(2):
+        rs.prove_step(pp, c)
+    assert rs.verify(pp, 2, [2]) == rs.zi
+    pk, vk = CompressedSNARK.setup(pp, ee1=KZG)
+    proof = CompressedSNARK.prove(pp, pk, rs)
+    assert proof.verify(vk, 2, [2]) == rs.zi
