@@ -156,3 +156,29 @@ def test_ivc_with_hyperkzg_compression(tmp_path):
     pk, vk = CompressedSNARK.setup(pp, ee1=KZG)
     proof = CompressedSNARK.prove(pp, pk, rs)
     assert proof.verify(vk, 2, [2]) == rs.zi
+
+
+def test_ivc_with_mercury_compression(tmp_path):
+    """Same pipeline with the Mercury constant-size evaluation engine on
+    the primary (eprint 2025/385; reference provider/mercury.rs)."""
+    import secrets
+
+    from nova_tpu.curves.spec import bn254
+    from nova_tpu.provider import ptau
+    from nova_tpu.provider.mercury import EvaluationEngine as Mercury
+
+    power = 15
+    path = tmp_path / f"ppot_pruned_{power:02d}.ptau"
+    tau = secrets.randbelow(bn254.scalar.p)
+    ptau.write_test_ptau(str(path), tau, power)
+
+    c = CubicCircuit()
+    pp = PublicParams.setup_with_ptau_dir(
+        Bn256EngineIPA, GrumpkinEngine, c, str(tmp_path)
+    )
+    rs = RecursiveSNARK.new(pp, c, [2])
+    for _ in range(2):
+        rs.prove_step(pp, c)
+    pk, vk = CompressedSNARK.setup(pp, ee1=Mercury)
+    proof = CompressedSNARK.prove(pp, pk, rs)
+    assert proof.verify(vk, 2, [2]) == rs.zi
