@@ -2057,6 +2057,123 @@ void poseidon_permute(void* h, u64* elements) {
   for (int i = 0; i < width; i++) fp_from_mont(C, &el[4 * i], elements + 4 * i);
 }
 
+// Poseidon permutation WITH witness capture: same schedule as
+// poseidon_permute, additionally appending every quintic-sbox
+// intermediate (l2, l4, l5) — and, in compact mode, the post-MDS state
+// tail of each partial round — in the gadget's allocation order
+// (nova_tpu/gadgets/poseidon_circuit.py:_permutation_witness).
+// allocs must hold 4 * n_allocs u64; returns the alloc count.
+size_t poseidon_permute_witness(void* h, u64* elements, u64* allocs,
+                                int compact) {
+  PoseidonCtx* P = (PoseidonCtx*)h;
+  const Ctx& C = *P->C;
+  int width = P->width;
+  std::vector<u64> el(4 * width), nx(4 * width);
+  for (int i = 0; i < width; i++) fp_to_mont(C, elements + 4 * i, &el[4 * i]);
+  size_t off = 0;
+  size_t na = 0;
+  int cur_round = 0;
+  int sparse_offset = P->half_full - 1;
+
+  auto emit = [&](const u64* v) {
+    fp_from_mont(C, v, allocs + 4 * na);
+    na++;
+  };
+  auto sbox_post = [&](u64* x, const u64* post /* Montgomery or NULL */) {
+    u64 x2[4], x4[4];
+    fp_mul(C, x, x, x2);
+    emit(x2);
+    fp_mul(C, x2, x2, x4);
+    emit(x4);
+    fp_mul(C, x4, x, x);
+    if (post) fp_add(C, x, post, x);
+    emit(x);
+  };
+  auto sbox_pre_post = [&](u64* x, const u64* pre, const u64* post) {
+    u64 t[4], x2[4], x4[4];
+    fp_add(C, x, pre, t);
+    fp_mul(C, t, t, x2);
+    emit(x2);
+    fp_mul(C, x2, x2, x4);
+    emit(x4);
+    fp_mul(C, t, x4, x);
+    fp_add(C, x, post, x);
+    emit(x);
+  };
+  auto apply_mds = [&]() {
+    if (cur_round == sparse_offset) {
+      for (int j = 0; j < width; j++) {
+        u64 acc[4] = {0, 0, 0, 0}, t[4];
+        for (int i = 0; i < width; i++) {
+          fp_mul(C, &P->pre[4 * ((size_t)i * width + j)], &el[4 * i], t);
+          fp_add(C, acc, t, acc);
+        }
+        memcpy(&nx[4 * j], acc, 32);
+      }
+      std::swap(el, nx);
+    } else if (cur_round > sparse_offset &&
+               cur_round < P->half_full + P->partial) {
+      int k = cur_round - sparse_offset - 1;
+      const u64* w_hat = &P->w_hats[4 * (size_t)k * width];
+      const u64* v_rest = &P->v_rests[4 * (size_t)k * (width - 1)];
+      u64 acc[4] = {0, 0, 0, 0}, t[4];
+      for (int i = 0; i < width; i++) {
+        fp_mul(C, w_hat + 4 * i, &el[4 * i], t);
+        fp_add(C, acc, t, acc);
+      }
+      memcpy(&nx[0], acc, 32);
+      for (int j = 1; j < width; j++) {
+        fp_mul(C, v_rest + 4 * (j - 1), &el[0], t);
+        fp_add(C, &el[4 * j], t, &nx[4 * j]);
+      }
+      std::swap(el, nx);
+    } else {
+      for (int i = 0; i < width; i++) {
+        u64 acc[4] = {0, 0, 0, 0}, t[4];
+        for (int j = 0; j < width; j++) {
+          fp_mul(C, &P->m[4 * ((size_t)i * width + j)], &el[4 * j], t);
+          fp_add(C, acc, t, acc);
+        }
+        memcpy(&nx[4 * i], acc, 32);
+      }
+      std::swap(el, nx);
+    }
+    cur_round++;
+  };
+
+  // first full round: pre + post keys around each sbox
+  for (int i = 0; i < width; i++) {
+    sbox_pre_post(&el[4 * i], &P->crc[4 * (off + i)],
+                  &P->crc[4 * (off + width + i)]);
+  }
+  off += 2 * (size_t)width;
+  apply_mds();
+  for (int r = 1; r < P->half_full; r++) {
+    for (int i = 0; i < width; i++)
+      sbox_post(&el[4 * i], &P->crc[4 * (off + i)]);
+    off += width;
+    apply_mds();
+  }
+  for (int r = 0; r < P->partial; r++) {
+    sbox_post(&el[0], &P->crc[4 * off]);
+    off += 1;
+    apply_mds();
+    if (compact) {
+      for (int i = 1; i < width; i++) emit(&el[4 * i]);
+    }
+  }
+  for (int r = 1; r < P->half_full; r++) {
+    for (int i = 0; i < width; i++)
+      sbox_post(&el[4 * i], &P->crc[4 * (off + i)]);
+    off += width;
+    apply_mds();
+  }
+  for (int i = 0; i < width; i++) sbox_post(&el[4 * i], NULL);
+  apply_mds();
+  for (int i = 0; i < width; i++) fp_from_mont(C, &el[4 * i], elements + 4 * i);
+  return na;
+}
+
 // Batch modular inverse via the Montgomery product trick: ~3 muls per
 // element plus ONE Fermat inversion (src/spartan/mod.rs:54-117 analog).
 // Zero entries map to zero (callers guarantee nonzero or tolerate 0).

@@ -172,6 +172,24 @@ def _permutation_witness(consts, in_vals, compact, p):
     (frontend/gadgets/poseidon/circuit2_witness.rs); here it collapses the
     tape's per-node closure chains into one native pass per permutation.
     """
+    from nova_tpu import native
+
+    if native.available():
+        h = getattr(consts, "_native_ctx", None)
+        if h is None:
+            h = native.poseidon_ctx(
+                p, consts.width, consts.half_full_rounds,
+                consts.partial_rounds, consts.compressed_round_constants,
+                consts.m, consts.pre_sparse_matrix, consts.sparse_matrixes,
+            )
+            try:
+                consts._native_ctx = h
+            except AttributeError:
+                pass
+        return native.poseidon_permute_witness(
+            h, p, list(in_vals), consts.width, consts.full_rounds,
+            consts.partial_rounds, compact,
+        )
     st = list(in_vals)
     width = len(st)
     allocs = []

@@ -54,6 +54,9 @@ def _build() -> Optional[ctypes.CDLL]:
     ]
     lib.poseidon_ctx_free.argtypes = [ctypes.c_void_p]
     lib.poseidon_permute.argtypes = [ctypes.c_void_p, u64p]
+    lib.poseidon_permute_witness.restype = ctypes.c_size_t
+    lib.poseidon_permute_witness.argtypes = [ctypes.c_void_p, u64p, u64p,
+                                             ctypes.c_int]
     lib.ctx_free.argtypes = [ctypes.c_void_p]
     for name, extra in [
         ("vec_mulmod", [u64p, u64p, u64p, ctypes.c_size_t]),
@@ -567,6 +570,24 @@ def poseidon_ctx(p: int, width: int, half_full: int, partial: int,
                              _ptr64(wh_l), _ptr64(vr_l))
     _poseidon_ctx_cache[key] = h
     return h
+
+
+def poseidon_permute_witness(handle, p: int, elements, width: int,
+                             full_rounds: int, partial: int,
+                             compact: bool) -> tuple:
+    """(final_state, alloc_values) of one permutation, alloc order matching
+    the circuit gadget's flat witness plan."""
+    lib = _get_lib()
+    assert len(elements) == width, (len(elements), width)
+    el = ints_to_limbs([x % p for x in elements])
+    cap = 3 * (width * full_rounds + partial) + (
+        partial * (width - 1) if compact else 0
+    )
+    allocs = np.zeros((cap, 4), dtype=np.uint64)
+    na = lib.poseidon_permute_witness(handle, _ptr64(el), _ptr64(allocs),
+                                      1 if compact else 0)
+    assert na <= cap, (na, cap)
+    return limbs_to_ints(el), limbs_to_ints(allocs[:na])
 
 
 def poseidon_permute(handle, p: int, elements, width: int = None) -> list:
