@@ -370,20 +370,28 @@ class R1CSShape:
     def pad(self) -> "R1CSShape":
         if self.is_regular_shape():
             return self
+        cached = getattr(self, "_padded", None)
+        if cached is not None:
+            return cached
         m = _next_pow2(max(self.num_vars, self.num_cons, self.num_io))
         if self.num_vars == m:
-            return R1CSShape(
+            out = R1CSShape(
                 self.field, m, m, self.num_io, self.A, self.B, self.C
             )
-        return R1CSShape(
-            self.field,
-            m,
-            m,
-            self.num_io,
-            self._apply_pad(self.A, m, m),
-            self._apply_pad(self.B, m, m),
-            self._apply_pad(self.C, m, m),
-        )
+        else:
+            out = R1CSShape(
+                self.field,
+                m,
+                m,
+                self.num_io,
+                self._apply_pad(self.A, m, m),
+                self._apply_pad(self.B, m, m),
+                self._apply_pad(self.C, m, m),
+            )
+        # memoized: provers pad per call and the padded matrices carry
+        # one-time native marshalling caches
+        self._padded = out
+        return out
 
     def pad_nonsquare(self) -> "R1CSShape":
         if self.is_regular_shape():

@@ -123,13 +123,35 @@ class RelaxedR1CSSNARK:
         # outer sumcheck
         tau = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
 
-        Az, Bz, Cz = S.multiply_vec(z)
+        from nova_tpu import native as _native
+
+        if _native.available():
+            from nova_tpu.ops.fvec import HVec
+            from nova_tpu.r1cs import _vec_limbs
+
+            zl = _vec_limbs(z, field.p)
+            Azl, Bzl, Czl = S.multiply_vec_l(zl)
+            Az = HVec(field.p, limbs=Azl)
+            Bz = HVec(field.p, limbs=Bzl)
+            Cz = HVec(field.p, limbs=Czl)
+        else:
+            Az, Bz, Cz = S.multiply_vec(z)
         poly_Az = MultilinearPolynomial(field, Az)
         poly_Bz = MultilinearPolynomial(field, Bz)
         poly_Cz = MultilinearPolynomial(field, Cz)
-        poly_uCz_E = MultilinearPolynomial(
-            field, [(U.u * c + e) % p for c, e in zip(Cz, W.E)]
-        )
+        if _native.available():
+            from nova_tpu.ops.fvec import HVec as _HVec
+            from nova_tpu.r1cs import _vec_limbs as _vl
+
+            poly_uCz_E = MultilinearPolynomial(
+                field,
+                _HVec(p, limbs=_native.vec_axpy_l(
+                    p, _vl(W.E, p), Cz.limbs64(), U.u)),
+            )
+        else:
+            poly_uCz_E = MultilinearPolynomial(
+                field, [(U.u * c + e) % p for c, e in zip(Cz, W.E)]
+            )
 
         from nova_tpu.constants import DEVICE_THRESHOLD
 
