@@ -1847,6 +1847,50 @@ void sumcheck_quad_round(Ctx* C, const u64* A, const u64* B, size_t half,
   memcpy(out + 4, cf, 32);
 }
 
+// keccak-f[1600] permutation on 25 u64 lanes, lanes[x][y] at index
+// x*5 + y (FIPS 202; mirrors nova_tpu/provider/keccak.py:keccak_f1600).
+static const u64 KECCAK_RC[24] = {
+  0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+  0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+  0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+  0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+  0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+  0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+  0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+  0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+static const int KECCAK_ROT[5][5] = {
+  {0, 36, 3, 41, 18},
+  {1, 44, 10, 45, 2},
+  {62, 6, 43, 15, 61},
+  {28, 55, 25, 21, 56},
+  {27, 20, 39, 8, 14},
+};
+static inline u64 rotl64(u64 x, int n) {
+  n &= 63;
+  return n ? ((x << n) | (x >> (64 - n))) : x;
+}
+
+void keccak_f1600(u64* a /* 25 lanes, [x*5+y] */) {
+  for (int r = 0; r < 24; r++) {
+    u64 c[5], d[5];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x*5+0] ^ a[x*5+1] ^ a[x*5+2] ^ a[x*5+3] ^ a[x*5+4];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) a[x*5+y] ^= d[x];
+    u64 b[25];
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y*5 + (2*x + 3*y) % 5] = rotl64(a[x*5+y], KECCAK_ROT[x][y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        a[x*5+y] = b[x*5+y] ^ ((~b[((x+1)%5)*5+y]) & b[((x+2)%5)*5+y]);
+    a[0] ^= KECCAK_RC[r];
+  }
+}
+
 // NeutronNova NIFS round evaluations (src/neutron/nifs.rs:28-186 analog):
 // 5 evaluation points {0,2,3,4,5} of the degree-4 zero-fold polynomial,
 // with the eq table split into left (e) and right (f) tensor halves.

@@ -53,6 +53,7 @@ def _build() -> Optional[ctypes.CDLL]:
         u64p, ctypes.c_size_t, u64p, u64p, u64p, u64p,
     ]
     lib.poseidon_ctx_free.argtypes = [ctypes.c_void_p]
+    lib.keccak_f1600.argtypes = [u64p]
     lib.poseidon_permute.argtypes = [ctypes.c_void_p, u64p]
     lib.poseidon_permute_witness.restype = ctypes.c_size_t
     lib.poseidon_permute_witness.argtypes = [ctypes.c_void_p, u64p, u64p,
@@ -524,6 +525,17 @@ _inv_in = np.zeros(4, dtype=np.uint64)
 _inv_out = np.zeros(4, dtype=np.uint64)
 _inv_in_p = None
 _inv_out_p = None
+
+
+def keccak_f1600_lanes(lanes):
+    """keccak-f[1600] on a 5x5 lane list via the C kernel."""
+    a = np.zeros(25, dtype=np.uint64)
+    for x in range(5):
+        for y in range(5):
+            a[x * 5 + y] = lanes[x][y]
+    lib = _get_lib()
+    lib.keccak_f1600(a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return [[int(a[x * 5 + y]) for y in range(5)] for x in range(5)]
 
 
 def neutron_round_l(p: int, e1, e2, Az1, Bz1, Cz1, Az2, Bz2, Cz2,

@@ -104,7 +104,12 @@ class KeccakSponge:
             lane = int.from_bytes(block[8 * i : 8 * i + 8], "little")
             x, y = i % 5, i // 5
             self.lanes[x][y] ^= lane
-        self.lanes = keccak_f1600(self.lanes)
+        from nova_tpu import native
+
+        if native.available():
+            self.lanes = native.keccak_f1600_lanes(self.lanes)
+        else:
+            self.lanes = keccak_f1600(self.lanes)
 
     def _squeeze(self, n: int) -> bytes:
         # pad10*1 with domain byte
