@@ -29,11 +29,12 @@ import time
 def bench_msm():
     from nova_tpu.curves.spec import pallas
     from nova_tpu.ops.msm2 import DeviceBases2, msm_device2
-    from nova_tpu.provider.pedersen import from_label
+    from nova_tpu.provider.pedersen import CommitmentEngine
 
     n = 1 << 16
     rng = random.Random(0xBE2C)
-    bases = from_label(pallas, b"bench-msm", n)
+    # via the engine so the hash-to-curve generators disk-cache across runs
+    bases = CommitmentEngine.setup(pallas, b"bench-msm", n - 1).ck[:n]
     db = DeviceBases2(pallas, bases)
     scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
 
@@ -69,33 +70,23 @@ def bench_fold_and_compress():
     return fold_ms, compress_s
 
 
-def _device_available(timeout_s: int = 180) -> bool:
+def _device_available() -> bool:
     """Probe the accelerator in a subprocess so a wedged tunnel can't hang
     the whole bench run."""
-    import subprocess
-    import sys
+    from nova_tpu._env import accelerator_available
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d=jax.devices(); print(d[0].platform)"],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-        return r.returncode == 0 and "cpu" not in r.stdout
-    except Exception:
-        return False
+    return accelerator_available(timeout_s=180)
 
 
 def bench_msm_host():
     """Host-native MSM fallback when no accelerator responds."""
     from nova_tpu.curves.spec import pallas
-    from nova_tpu.provider.pedersen import CommitmentKey, from_label
+    from nova_tpu.provider.pedersen import CommitmentEngine
     from nova_tpu import native
 
     n = 1 << 16
     rng = random.Random(0xBE2C)
-    gens = from_label(pallas, b"bench-msm", n)
-    ck = CommitmentKey(pallas, gens, gens[0])
+    ck = CommitmentEngine.setup(pallas, b"bench-msm", n - 1)
     arrays = ck.host_arrays(n)
     scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
     sl = native.ints_to_limbs(scalars)

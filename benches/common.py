@@ -55,17 +55,6 @@ def rng(seed: int = 0xBE2C) -> random.Random:
 def force_cpu_if_no_accel() -> None:
     """Pin jax to CPU when no accelerator responds (a wedged tunnel must
     not hang a bench)."""
-    import subprocess
+    from nova_tpu._env import apply_platform_env
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, timeout=120, text=True)
-        ok = r.returncode == 0 and "cpu" not in r.stdout
-    except Exception:
-        ok = False
-    if not ok:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    apply_platform_env()

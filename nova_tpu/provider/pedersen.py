@@ -2,11 +2,11 @@
 
 commit(v, r) = sum_i v_i * G_i + r * H over hashed-to-curve generators.
 Generators derive from a label via a Shake256 XOF, one 32-byte block per
-generator, lifted to the curve (src/provider/traits.rs:249-293). The
-reference lifts via halo2curves' hash_to_curve; we use a documented
-try-and-increment map (see `map_to_curve`) since the halo2curves map is
-external to the reference tree. Keys are cached on disk, and large
-commitments dispatch to the TPU MSM.
+generator, lifted to the curve with the halo2curves hash_to_curve map
+(src/provider/traits.rs:249-293; implemented + derivation-verified in
+nova_tpu/provider/hash_to_curve.py). The round-1/2 try-and-increment
+map remains available behind NOVA_LEGACY_MAP=1 for old key caches.
+Keys are cached on disk, and large commitments dispatch to the TPU MSM.
 """
 
 from __future__ import annotations
@@ -27,14 +27,12 @@ from nova_tpu.provider.keccak import Shake256
 _KEY_CACHE_DIR = os.path.join(os.path.dirname(__file__), "_cache")
 
 
-def map_to_curve(curve: CurveSpec, uniform_bytes: bytes) -> AffinePoint:
-    """Deterministic hash-to-curve: interpret 32 bytes as a little-endian
-    integer u; take x = (u mod p) + ctr for the smallest ctr >= 0 making
-    x^3 + b square; pick the root whose parity equals bit 255 of u.
-
-    Not the halo2curves map (SSWU/SVDW); documented here as this library's
-    generator-derivation convention.
-    """
+def map_to_curve_legacy(curve: CurveSpec, uniform_bytes: bytes) -> AffinePoint:
+    """Round-1/2 try-and-increment map, kept behind NOVA_LEGACY_MAP=1 so
+    keys cached under the old derivation remain loadable: interpret 32
+    bytes as a little-endian integer u; take x = (u mod p) + ctr for the
+    smallest ctr >= 0 making x^3 + b square; pick the root whose parity
+    equals bit 255 of u."""
     f = curve.base
     u = int.from_bytes(uniform_bytes, "little")
     parity = (u >> 255) & 1
@@ -49,12 +47,23 @@ def map_to_curve(curve: CurveSpec, uniform_bytes: bytes) -> AffinePoint:
         x = f.add(x, 1)
 
 
+def _use_legacy_map() -> bool:
+    return os.environ.get("NOVA_LEGACY_MAP") == "1"
+
+
 def from_label(curve: CurveSpec, label: bytes, n: int) -> List[AffinePoint]:
-    """Derive n generators from a label (DlogGroup::from_label semantics:
-    Shake256(label) XOF -> 32-byte blocks -> hash to curve)."""
+    """Derive n generators from a label (DlogGroup::from_label semantics,
+    src/provider/traits.rs:249-293): Shake256(label) XOF -> 32-byte blocks
+    -> halo2curves hash_to_curve("from_uniform_bytes") (SSWU over a
+    3-isogenous curve for pallas/vesta/secp256k1, SVDW for the rest; see
+    nova_tpu/provider/hash_to_curve.py for the derivation)."""
+    from nova_tpu.provider.hash_to_curve import hash_to_curve
+
     reader = Shake256().update(label).finalize_xof()
     blocks = [reader.read(32) for _ in range(n)]
-    return [map_to_curve(curve, blk) for blk in blocks]
+    if _use_legacy_map():
+        return [map_to_curve_legacy(curve, blk) for blk in blocks]
+    return [hash_to_curve(curve, b"from_uniform_bytes", blk) for blk in blocks]
 
 
 def _next_pow2(n: int) -> int:
@@ -224,8 +233,11 @@ class CommitmentEngine:
     @staticmethod
     def setup(curve: CurveSpec, label: bytes, n: int) -> CommitmentKey:
         num = _next_pow2(n) + 1
+        # cache files are keyed by the hash-to-curve map: "ck" holds the
+        # legacy try-and-increment keys, "ck2" the halo2curves-map keys
+        tag = "ck" if _use_legacy_map() else "ck2"
         cache = os.path.join(
-            _KEY_CACHE_DIR, f"ck_{curve.name}_{label.decode()}_{num}.npy"
+            _KEY_CACHE_DIR, f"{tag}_{curve.name}_{label.decode()}_{num}.npy"
         )
         if os.path.exists(cache):
             gens = _load_gen_cache(cache, curve, num)
@@ -233,7 +245,7 @@ class CommitmentEngine:
             # reuse a larger cached key if present
             gens = None
             if os.path.isdir(_KEY_CACHE_DIR):
-                prefix = f"ck_{curve.name}_{label.decode()}_"
+                prefix = f"{tag}_{curve.name}_{label.decode()}_"
                 for fn in os.listdir(_KEY_CACHE_DIR):
                     if fn.startswith(prefix) and fn.endswith(".npy"):
                         try:
