@@ -16,6 +16,23 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <thread>
+
+// Host thread count for the parallel phases (MSM windows, SpMV row
+// chunks). Default 1: this build box is single-core; multi-core hosts
+// opt in via NOVA_NATIVE_THREADS (the reference is rayon-parallel
+// throughout, src/provider/msm.rs:237-419).
+static int native_threads() {
+  static int n = -1;
+  if (n < 0) {
+    const char* e = getenv("NOVA_NATIVE_THREADS");
+    int v = e ? atoi(e) : 1;
+    if (v < 1) v = 1;
+    if (v > 64) v = 64;
+    n = v;
+  }
+  return n;
+}
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -1264,72 +1281,104 @@ static void msm_windows_ifma(Ctx* C, const std::vector<u64>& xs_n,
       s52_sub(*C, zero52, &my52[5 * i], &myneg52[5 * i]);
   }
   g_t_conv += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tc0).count();
-  std::vector<u64> ax(5 * live), ay(5 * live), bxx(5 * live), byy(5 * live);
-  std::vector<uint8_t> dead_a(live), dead_b(live);
-  std::vector<uint32_t> seg_start(nb), seg_len(nb), cursor(nb), slot_src(live);
-  IfmaPairScratch scratch;
-  for (int w = W - 1; w >= 0; w--) {
-    for (int d = 0; d < c; d++) jac_dbl(*C, total, total);
+  // Per-window partial sums are independent; compute them (optionally on
+  // a thread pool, NOVA_NATIVE_THREADS) and fold with the radix doublings
+  // serially afterwards. Each worker owns its full scratch set.
+  struct WinScratch {
+    std::vector<u64> ax, ay, bxx, byy, brow_x, brow_y;
+    std::vector<uint8_t> dead_a, dead_b, brow_occ;
+    std::vector<uint32_t> seg_start, seg_len, cursor, slot_src;
+    IfmaPairScratch scratch;
+  };
+  const bool prof_serial = prof && native_threads() == 1;
+  auto run_window = [&](int w, WinScratch& S, Jac& wsum) {
     auto tw0 = std::chrono::steady_clock::now();
-    std::fill(seg_len.begin(), seg_len.end(), 0);
+    std::fill(S.seg_len.begin(), S.seg_len.end(), 0);
     for (size_t i = 0; i < live; i++) {
       int d = digits[(size_t)i * W + w];
-      if (d) seg_len[(d < 0 ? -d : d) - 1]++;
+      if (d) S.seg_len[(d < 0 ? -d : d) - 1]++;
     }
     uint32_t acc_off = 0;
     for (size_t b = 0; b < nb; b++) {
-      seg_start[b] = acc_off;
-      cursor[b] = acc_off;
-      acc_off += seg_len[b];
+      S.seg_start[b] = acc_off;
+      S.cursor[b] = acc_off;
+      acc_off += S.seg_len[b];
     }
-    memset(dead_a.data(), 0, live);
+    memset(S.dead_a.data(), 0, live);
     for (size_t i = 0; i < live; i++) {
       int d = digits[(size_t)i * W + w];
       if (!d) continue;
       uint32_t b = (uint32_t)((d < 0 ? -d : d) - 1);
-      slot_src[cursor[b]++] = (uint32_t)i | (d < 0 ? 0x80000000u : 0);
+      S.slot_src[S.cursor[b]++] = (uint32_t)i | (d < 0 ? 0x80000000u : 0);
     }
-    g_t_sort += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tw0).count();
-    msm_pair_rounds_ifma(*C, nb, ax, ay, bxx, byy, dead_a, dead_b,
-                         seg_start, seg_len, scratch,
+    if (prof_serial)
+      g_t_sort += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tw0).count();
+    msm_pair_rounds_ifma(*C, nb, S.ax, S.ay, S.bxx, S.byy, S.dead_a, S.dead_b,
+                         S.seg_start, S.seg_len, S.scratch,
                          mx52.data(), my52.data(), myneg52.data(),
-                         slot_src.data());
+                         S.slot_src.data());
     tw0 = std::chrono::steady_clock::now();
     // collect bucket values (52-limb Montgomery rows) + occupancy
-    static std::vector<u64> brow_x, brow_y;
-    static std::vector<uint8_t> brow_occ;
-    brow_x.resize(5 * nb);
-    brow_y.resize(5 * nb);
-    brow_occ.assign(nb, 0);
+    S.brow_x.resize(5 * nb);
+    S.brow_y.resize(5 * nb);
+    S.brow_occ.assign(nb, 0);
     for (size_t b = 0; b < nb; b++) {
-      uint32_t s = seg_start[b], k = seg_len[b];
+      uint32_t s = S.seg_start[b], k = S.seg_len[b];
       for (uint32_t t = 0; t < k; t++) {
-        if (dead_a[s + t]) continue;
-        memcpy(&brow_x[5 * b], &ax[5 * (s + t)], 40);
-        memcpy(&brow_y[5 * b], &ay[5 * (s + t)], 40);
-        brow_occ[b] = 1;
+        if (S.dead_a[s + t]) continue;
+        memcpy(&S.brow_x[5 * b], &S.ax[5 * (s + t)], 40);
+        memcpy(&S.brow_y[5 * b], &S.ay[5 * (s + t)], 40);
+        S.brow_occ[b] = 1;
         break;
       }
     }
-    if (nb < 16 || !bucket_combine_ifma(C, nb, brow_x, brow_y, brow_occ, total)) {
+    jac_set_identity(wsum);
+    if (nb < 16 || !bucket_combine_ifma(C, nb, S.brow_x, S.brow_y, S.brow_occ, wsum)) {
       // scalar fallback (tiny nb, or a degenerate lane add was flagged)
-      Jac running, wsum;
+      Jac running;
       jac_set_identity(running);
       jac_set_identity(wsum);
       for (size_t b = nb; b-- > 0;) {
-        if (brow_occ[b]) {
+        if (S.brow_occ[b]) {
           u64 x64[4], y64[4], xm[4], ym[4];
-          s52_from_mont(*C, &brow_x[5 * b], x64);
-          s52_from_mont(*C, &brow_y[5 * b], y64);
+          s52_from_mont(*C, &S.brow_x[5 * b], x64);
+          s52_from_mont(*C, &S.brow_y[5 * b], y64);
           fp_to_mont(*C, x64, xm);
           fp_to_mont(*C, y64, ym);
           jac_madd(*C, running, xm, ym, false, running);
         }
         jac_add(*C, wsum, running, wsum);
       }
-      jac_add(*C, total, wsum, total);
     }
-    g_t_bucket += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tw0).count();
+    if (prof_serial)
+      g_t_bucket += std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - tw0).count();
+  };
+  auto make_scratch = [&](WinScratch& S) {
+    S.ax.resize(5 * live); S.ay.resize(5 * live);
+    S.bxx.resize(5 * live); S.byy.resize(5 * live);
+    S.dead_a.resize(live); S.dead_b.resize(live);
+    S.seg_start.resize(nb); S.seg_len.resize(nb);
+    S.cursor.resize(nb); S.slot_src.resize(live);
+  };
+  std::vector<Jac> wsums(W);
+  int T = std::min(native_threads(), W);
+  if (T <= 1) {
+    WinScratch S;
+    make_scratch(S);
+    for (int w = 0; w < W; w++) run_window(w, S, wsums[w]);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < T; t++)
+      pool.emplace_back([&, t]() {
+        WinScratch S;
+        make_scratch(S);
+        for (int w = t; w < W; w += T) run_window(w, S, wsums[w]);
+      });
+    for (auto& th : pool) th.join();
+  }
+  for (int w = W - 1; w >= 0; w--) {
+    for (int d = 0; d < c; d++) jac_dbl(*C, total, total);
+    jac_add(*C, total, wsums[w], total);
   }
   if (prof)
     fprintf(stderr,
@@ -1626,6 +1675,107 @@ void vec_fold(Ctx* C, const u64* a, const u64* b, const u64 r1[4],
     fp_add(*C, t1, t2, t1);
     fp_from_mont(*C, t1, out + 4 * i);
   }
+}
+
+// Horner evaluation out = f(u); f is n coefficients, f[0] lowest degree.
+// Serial dependency chain, but each step is one Montgomery mul (~tens of
+// ns) — backs the HyperKZG per-fold evaluations (hyperkzg.rs:919-934).
+void poly_eval_horner(Ctx* C, const u64* f, size_t n, const u64 u[4],
+                      u64 out[4]) {
+  u64 um[4], acc[4] = {0, 0, 0, 0}, fm[4];
+  fp_to_mont(*C, u, um);
+  for (size_t i = n; i-- > 0;) {
+    fp_mul(*C, acc, um, acc);
+    fp_to_mont(*C, f + 4 * i, fm);
+    fp_add(*C, acc, fm, acc);
+  }
+  fp_from_mont(*C, acc, out);
+}
+
+// Synthetic division by (x - u): writes the n-1 coefficients of h with
+// f = (x-u)*h + f(u). Backs the KZG witness openings (hyperkzg.rs:940-952).
+void poly_div_linear(Ctx* C, const u64* f, size_t n, const u64 u[4],
+                     u64* out_h) {
+  if (n < 2) return;
+  u64 um[4], acc[4], fm[4];
+  fp_to_mont(*C, u, um);
+  fp_to_mont(*C, f + 4 * (n - 1), acc);
+  fp_from_mont(*C, acc, out_h + 4 * (n - 2));
+  for (size_t i = n - 2; i > 0; i--) {
+    fp_mul(*C, acc, um, acc);
+    fp_to_mont(*C, f + 4 * i, fm);
+    fp_add(*C, acc, fm, acc);
+    fp_from_mont(*C, acc, out_h + 4 * (i - 1));
+  }
+}
+
+// In-place radix-2 NTT over n=2^k entries given a primitive n-th root of
+// unity w (normal form). invert=1 runs the inverse transform including
+// the 1/n scale. Backs Mercury's univariate polynomial algebra
+// (src/provider/mercury.rs); the reference leans on halo2curves
+// best_fft, this is an original iterative Cooley-Tukey.
+void ntt(Ctx* C, u64* a, size_t n, const u64 w[4], int invert) {
+  // bit-reversal permutation
+  for (size_t i = 1, j = 0; i < n; i++) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      u64 t[4];
+      memcpy(t, a + 4 * i, 32);
+      memcpy(a + 4 * i, a + 4 * j, 32);
+      memcpy(a + 4 * j, t, 32);
+    }
+  }
+  for (size_t i = 0; i < n; i++) fp_to_mont(*C, a + 4 * i, a + 4 * i);
+  u64 wm[4];
+  fp_to_mont(*C, w, wm);
+  if (invert) {
+    // w^{-1} = w^{n-1}
+    u64 winv[4];
+    memcpy(winv, C->r1, 32);
+    for (size_t e = n - 1; e; e >>= 1) {
+      if (e & 1) fp_mul(*C, winv, wm, winv);
+      u64 sq[4];
+      fp_sqr(*C, wm, sq);
+      memcpy(wm, sq, 32);
+    }
+    memcpy(wm, winv, 32);
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    // wlen = w^(n/len)
+    u64 wlen[4];
+    memcpy(wlen, wm, 32);
+    for (size_t e = n / len; e > 1; e >>= 1) {
+      // square-and-multiply on exponent n/len (power of two): just square
+      u64 sq[4];
+      fp_sqr(*C, wlen, sq);
+      memcpy(wlen, sq, 32);
+    }
+    for (size_t i = 0; i < n; i += len) {
+      u64 cur[4];
+      memcpy(cur, C->r1, 32);  // Montgomery one
+      for (size_t j = 0; j < len / 2; j++) {
+        u64 *lo = a + 4 * (i + j), *hi = a + 4 * (i + j + len / 2);
+        u64 t[4], v[4];
+        fp_mul(*C, hi, cur, t);
+        memcpy(v, lo, 32);
+        fp_add(*C, v, t, lo);
+        fp_sub(*C, v, t, hi);
+        fp_mul(*C, cur, wlen, cur);
+      }
+    }
+  }
+  if (invert) {
+    // scale by n^{-1}: n fits a word; invert via Fermat on the fly is
+    // overkill — use inv_mod on the normal-form value.
+    u64 nv[4] = {(u64)n, 0, 0, 0}, ninv[4];
+    inv_mod(C, nv, ninv);
+    u64 nm[4];
+    fp_to_mont(*C, ninv, nm);
+    for (size_t i = 0; i < n; i++) fp_mul(*C, a + 4 * i, nm, a + 4 * i);
+  }
+  for (size_t i = 0; i < n; i++) fp_from_mont(*C, a + 4 * i, a + 4 * i);
 }
 
 // eq(r, x) table by doubling (src/spartan/polys/eq.rs evals): for each
@@ -2299,9 +2449,45 @@ void vec_batch_inv(Ctx* C, const u64* a, u64* out, size_t n) {
 // cls: 0 general, 1 (+1), 2 (-1) — the reference's PrecomputedSparseMatrix
 // coefficient classes (src/r1cs/sparse.rs:19-107) collapse +-1 to add/sub.
 // z: normal form. out: normal canonical.
+static void spmv_rows(Ctx* C, const u64* data_mont, const uint8_t* cls,
+                      const uint32_t* indices, const uint32_t* indptr,
+                      size_t r0, size_t r1, const u64* z, u64* out) {
+  for (size_t r = r0; r < r1; r++) {
+    u64 acc[4] = {0, 0, 0, 0};
+    for (uint32_t k = indptr[r]; k < indptr[r + 1]; k++) {
+      const u64* zz = z + 4 * (size_t)indices[k];
+      if (cls[k] == 1) {
+        fp_add(*C, acc, zz, acc);
+      } else if (cls[k] == 2) {
+        fp_sub(*C, acc, zz, acc);
+      } else {
+        u64 t[4];
+        fp_mul(*C, data_mont + 4 * (size_t)k, zz, t);  // mont*normal = normal
+        fp_add(*C, acc, t, acc);
+      }
+    }
+    memcpy(out + 4 * r, acc, 32);
+  }
+}
+
 void spmv(Ctx* C, const u64* data_mont, const uint8_t* cls,
           const uint32_t* indices, const uint32_t* indptr, size_t rows,
           const u64* z, u64* out) {
+  int T = native_threads();
+  if (T > 1 && rows >= 1024) {
+    // rows are independent; chunk evenly (nnz skew across R1CS rows is
+    // mild for padded shapes)
+    size_t chunk = (rows + T - 1) / T;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < T; t++) {
+      size_t r0 = (size_t)t * chunk, r1 = std::min(rows, r0 + chunk);
+      if (r0 >= r1) break;
+      pool.emplace_back(spmv_rows, C, data_mont, cls, indices, indptr,
+                        r0, r1, z, out);
+    }
+    for (auto& th : pool) th.join();
+    return;
+  }
   for (size_t r = 0; r < rows; r++) {
     u64 acc[4] = {0, 0, 0, 0};
     for (uint32_t k = indptr[r]; k < indptr[r + 1]; k++) {
@@ -2423,6 +2609,46 @@ void msm_idx(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
              const u64* scalars, const uint32_t* idx, size_t n,
              u64 out_x[4], u64 out_y[4], uint8_t* out_inf) {
   msm_core(C, xs, ys, inf, scalars, idx, n, out_x, out_y, out_inf);
+}
+
+// Segmented batch-add: out[s] = sum of table points order[seg_off[s]..
+// seg_off[s+1]) for each of nseg segments, reduced by the shared-inversion
+// batched-affine pair scheduler (the reference's batch_add,
+// src/provider/msm.rs:689-770, generalized to many segments at once).
+// Backs commit_sparse_binary (one segment) and ck_derive_by_address
+// (one segment per table slot).
+void batch_add_seg(Ctx* C, const u64* xs, const u64* ys, const uint8_t* inf,
+                   const uint32_t* order, const uint32_t* seg_off, size_t nseg,
+                   u64* out_x, u64* out_y, uint8_t* out_inf) {
+  size_t total = seg_off[nseg];
+  std::vector<u64> ax(4 * total), ay(4 * total), bxx(4 * total), byy(4 * total);
+  std::vector<uint32_t> seg_start(nseg), seg_len(nseg);
+  size_t pos = 0;
+  for (size_t s = 0; s < nseg; s++) {
+    seg_start[s] = (uint32_t)pos;
+    uint32_t k = 0;
+    for (uint32_t t = seg_off[s]; t < seg_off[s + 1]; t++) {
+      uint32_t i = order[t];
+      if (inf[i]) continue;  // identity contributes nothing
+      fp_to_mont(*C, xs + 4 * i, &ax[4 * pos]);
+      fp_to_mont(*C, ys + 4 * i, &ay[4 * pos]);
+      pos++; k++;
+    }
+    seg_len[s] = k;
+  }
+  PairScratch scratch;
+  msm_pair_rounds(*C, nseg, ax, ay, bxx, byy, seg_start, seg_len, scratch);
+  for (size_t s = 0; s < nseg; s++) {
+    if (seg_len[s] == 0) {
+      out_inf[s] = 1;
+      memset(out_x + 4 * s, 0, 32);
+      memset(out_y + 4 * s, 0, 32);
+    } else {
+      out_inf[s] = 0;
+      fp_from_mont(*C, &ax[4 * seg_start[s]], out_x + 4 * s);
+      fp_from_mont(*C, &ay[4 * seg_start[s]], out_y + 4 * s);
+    }
+  }
 }
 
 // Fold commitment key: out[i] = w1*L[i] + w2*R[i] (Strauss dual-scalar mul)

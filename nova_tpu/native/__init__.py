@@ -30,7 +30,7 @@ def _build() -> Optional[ctypes.CDLL]:
         return None
     if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
             "-fno-exceptions", "-fomit-frame-pointer",
             _SRC, "-o", _SO + ".tmp",
         ]
@@ -88,6 +88,13 @@ def _build() -> Optional[ctypes.CDLL]:
         ("msm_idx", [u64p, u64p, u8p, u64p,
                      ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
                      u64p, u64p, u8p]),
+        ("poly_eval_horner", [u64p, ctypes.c_size_t, u64p, u64p]),
+        ("poly_div_linear", [u64p, ctypes.c_size_t, u64p, u64p]),
+        ("ntt", [u64p, ctypes.c_size_t, u64p, ctypes.c_int]),
+        ("batch_add_seg", [u64p, u64p, u8p,
+                           ctypes.POINTER(ctypes.c_uint32),
+                           ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+                           u64p, u64p, u8p]),
         ("ec_fold", [u64p, u64p, u8p, u64p, u64p, u8p, u64p, u64p,
                      ctypes.c_size_t, u64p, u64p, u8p]),
         ("ec_scale", [u64p, u64p, u8p, u64p, ctypes.c_size_t, u64p, u64p, u8p]),
@@ -234,6 +241,30 @@ def msm_cached(curve, arrays, scalars: Sequence[int], indices=None):
         int.from_bytes(ox.astype("<u8").tobytes(), "little"),
         int.from_bytes(oy.astype("<u8").tobytes(), "little"),
     )
+
+
+def batch_add_seg(curve, arrays, order, seg_off):
+    """Segmented batch-add over pre-marshalled points: result s = sum of
+    arrays[order[seg_off[s]:seg_off[s+1]]], all segments reduced together
+    by the shared-inversion batched-affine pair scheduler (the reference's
+    batch_add, src/provider/msm.rs:689-770). Returns len(seg_off)-1
+    AffinePoints."""
+    ctx = _ctx(curve.base.p)
+    lib = _get_lib()
+    xs, ys, inf = arrays
+    order_arr = np.asarray(order, dtype=np.uint32)
+    off_arr = np.asarray(seg_off, dtype=np.uint32)
+    nseg = off_arr.shape[0] - 1
+    assert nseg >= 1 and off_arr[-1] == order_arr.shape[0]
+    ox = np.zeros((nseg, 4), dtype=np.uint64)
+    oy = np.zeros((nseg, 4), dtype=np.uint64)
+    oinf = np.zeros(nseg, dtype=np.uint8)
+    lib.batch_add_seg(
+        ctx, _ptr64(xs), _ptr64(ys), _ptr8(inf),
+        order_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        off_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nseg, _ptr64(ox), _ptr64(oy), _ptr8(oinf))
+    return _arrays_to_points(curve, ox, oy, oinf)
 
 
 def ec_fixed_mul_many(base, scalars):
@@ -519,6 +550,40 @@ def vec_bind_l(p: int, arr: np.ndarray, r: int) -> np.ndarray:
     """Bind the top variable: out = lo + r*(hi - lo) = (1-r)*lo + r*hi."""
     half = arr.shape[0] // 2
     return vec_fold_l(p, arr[:half], arr[half:], (1 - r) % p, r % p)
+
+
+def poly_eval_horner_l(p: int, f: np.ndarray, u: int) -> int:
+    """f(u) by Horner over a limb coefficient array (f[0] lowest degree)."""
+    lib = _get_lib()
+    ua = ints_to_limbs([u % p])
+    out = np.zeros(4, dtype=np.uint64)
+    ff = np.ascontiguousarray(f)
+    lib.poly_eval_horner(_ctx(p), _ptr64(ff), ff.shape[0], _ptr64(ua), _ptr64(out))
+    return int.from_bytes(out.astype("<u8").tobytes(), "little")
+
+
+def poly_div_linear_l(p: int, f: np.ndarray, u: int) -> np.ndarray:
+    """Quotient h = f // (x - u) (synthetic division), limb arrays."""
+    lib = _get_lib()
+    n = f.shape[0]
+    assert n >= 2
+    ua = ints_to_limbs([u % p])
+    out = np.zeros((n - 1, 4), dtype=np.uint64)
+    ff = np.ascontiguousarray(f)
+    lib.poly_div_linear(_ctx(p), _ptr64(ff), n, _ptr64(ua), _ptr64(out))
+    return out
+
+
+def ntt_l(p: int, a: np.ndarray, root: int, invert: bool = False) -> np.ndarray:
+    """Radix-2 NTT (in place on a copy) over 2^k limb entries; `root` is a
+    primitive n-th root of unity. invert=True includes the 1/n scale."""
+    lib = _get_lib()
+    aa = np.ascontiguousarray(a).copy()
+    n = aa.shape[0]
+    assert n & (n - 1) == 0
+    ra = ints_to_limbs([root % p])
+    lib.ntt(_ctx(p), _ptr64(aa), n, _ptr64(ra), 1 if invert else 0)
+    return aa
 
 
 _inv_in = np.zeros(4, dtype=np.uint64)

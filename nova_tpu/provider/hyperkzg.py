@@ -129,6 +129,12 @@ class EvaluationEngine:
         ell = len(x)
         n = len(hat_P)
         assert n == 1 << ell
+        from nova_tpu import native
+
+        if native.available() and ell >= 2:
+            return EvaluationEngine._prove_limbs(
+                field, ck, transcript, hat_P, x, native
+            )
 
         def kzg_open(f: Sequence[int], u: int) -> Commitment:
             # h(x) = f(x) / (x - u) via Horner
@@ -175,6 +181,61 @@ class EvaluationEngine:
         w = [kzg_open(B, ui) for ui in u]
         EvaluationEngine._verifier_second_challenge(w, transcript)
 
+        return EvaluationArgument(com=com, w=w, v=v)
+
+    @staticmethod
+    def _prove_limbs(field, ck, transcript, hat_P, x, native):
+        """Limb-array prover path: folds via the fused fold kernel, Horner
+        evals and synthetic KZG divisions in C, commits through the cached
+        marshalled key (the rayon-parallel structure of
+        hyperkzg.rs:897-1100 mapped onto the host-native kernels)."""
+        import numpy as np
+
+        p = field.p
+        ell = len(x)
+        from nova_tpu.ops.fvec import HVec
+
+        if isinstance(hat_P, HVec):
+            P0 = hat_P.limbs64()
+        elif isinstance(hat_P, np.ndarray):
+            P0 = hat_P
+        else:
+            P0 = native.ints_to_limbs([v % p for v in hat_P])
+
+        # Phase 1: fold adjacent pairs with x coordinates, commit each fold
+        polys = [P0]
+        for i in range(ell - 1):
+            prev = polys[i]
+            xi = x[ell - i - 1]
+            ev = np.ascontiguousarray(prev[0::2])
+            od = np.ascontiguousarray(prev[1::2])
+            polys.append(native.vec_fold_l(p, ev, od, (1 - xi) % p, xi % p))
+        com = [CE.commit_limbs(ck, poly, 0) for poly in polys[1:]]
+
+        # Phase 2: eval points {r, -r, r^2}
+        r = EvaluationEngine._compute_challenge(com, transcript)
+        u = [r, (-r) % p, r * r % p]
+
+        # Phase 3: batched KZG openings
+        v = [
+            [native.poly_eval_horner_l(p, f, ui) for ui in u] for f in polys
+        ]
+        q = EvaluationEngine._get_batch_challenge(field, v, transcript)
+
+        B = polys[0].copy()
+        qp = 1
+        for i in range(1, len(polys)):
+            qp = qp * q % p
+            m = polys[i].shape[0]
+            B[:m] = native.vec_axpy_l(p, np.ascontiguousarray(B[:m]), polys[i], qp)
+
+        def kzg_open_l(f: np.ndarray, ui: int) -> Commitment:
+            if f.shape[0] < 2:
+                return CE.commit(ck, [0], 0)
+            return CE.commit_limbs(ck, native.poly_div_linear_l(p, f, ui), 0)
+
+        w = [kzg_open_l(B, ui) for ui in u]
+        EvaluationEngine._verifier_second_challenge(w, transcript)
         return EvaluationArgument(com=com, w=w, v=v)
 
     # -- verifier ---------------------------------------------------------------

@@ -60,6 +60,12 @@ def ntt(a: List[int], w: int, log_n: int, p: int) -> None:
     """In-place radix-2 NTT (halo2curves best_fft semantics)."""
     n = 1 << log_n
     assert len(a) == n
+    from nova_tpu import native
+
+    if native.available() and n >= 64:
+        arr = native.ints_to_limbs([v % p for v in a])
+        a[:] = native.limbs_to_ints(native.ntt_l(p, arr, w))
+        return
     # bit-reverse
     j = 0
     for i in range(1, n):
@@ -85,6 +91,12 @@ def ntt(a: List[int], w: int, log_n: int, p: int) -> None:
 
 
 def _poly_eval(f: Sequence[int], x: int, p: int) -> int:
+    from nova_tpu import native
+
+    if native.available() and len(f) >= 64:
+        return native.poly_eval_horner_l(
+            p, native.ints_to_limbs([c % p for c in f]), x
+        )
     acc = 0
     for c in reversed(f):
         acc = (acc * x + c) % p
@@ -93,6 +105,13 @@ def _poly_eval(f: Sequence[int], x: int, p: int) -> int:
 
 def _div_linear(f: List[int], a: int, p: int) -> int:
     """In-place f(X) <- f(X)/(X-a) via Horner; returns remainder."""
+    from nova_tpu import native
+
+    if native.available() and len(f) >= 64:
+        fl = native.ints_to_limbs([c % p for c in f])
+        rem = native.poly_eval_horner_l(p, fl, a)
+        f[:] = native.limbs_to_ints(native.poly_div_linear_l(p, fl, a))
+        return rem
     for i in range(len(f) - 2, -1, -1):
         f[i] = (f[i] + f[i + 1] * a) % p
     return f.pop(0)

@@ -390,9 +390,22 @@ class CommitmentEngine:
             raise InvalidCommitmentKeyLengthError()
         if any(j >= table_size for j in addresses):
             raise InvalidIndexError()
-        acc = [AffinePoint.identity(ck.curve) for _ in range(table_size)]
-        for i, j in enumerate(addresses):
-            acc[j] = acc[j].add(ck.ck[i])
+        if native.available() and addresses:
+            import numpy as np
+
+            addr = np.asarray(addresses, dtype=np.uint32)
+            order = np.argsort(addr, kind="stable").astype(np.uint32)
+            counts = np.bincount(addr, minlength=table_size)
+            seg_off = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(counts)]
+            ).astype(np.uint32)
+            acc = native.batch_add_seg(
+                ck.curve, ck.host_arrays(len(addresses)), order, seg_off
+            )
+        else:
+            acc = [AffinePoint.identity(ck.curve) for _ in range(table_size)]
+            for i, j in enumerate(addresses):
+                acc[j] = acc[j].add(ck.ck[i])
         return CommitmentKey(ck.curve, acc, ck.h)
 
     @staticmethod
@@ -418,9 +431,17 @@ class CommitmentEngine:
     def commit_sparse_binary(
         ck: CommitmentKey, non_zero_indices: Sequence[int], r: int = 0
     ) -> Commitment:
-        acc = AffinePoint.identity(ck.curve)
-        for i in non_zero_indices:
-            acc = acc.add(ck.ck[i])
+        if native.available() and non_zero_indices:
+            acc = native.batch_add_seg(
+                ck.curve,
+                ck.host_arrays(max(non_zero_indices) + 1),
+                list(non_zero_indices),
+                [0, len(non_zero_indices)],
+            )[0]
+        else:
+            acc = AffinePoint.identity(ck.curve)
+            for i in non_zero_indices:
+                acc = acc.add(ck.ck[i])
         if r:
             acc = acc.add(ck.h.mul(r))
         return Commitment(acc)
