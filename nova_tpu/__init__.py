@@ -34,8 +34,33 @@ import jax as _jax
 # Persistent XLA compilation cache: kernel shapes recur across processes
 # (fixed circuit sizes), so first-compile cost (~20-40s/kernel) is paid once
 # per machine, not per run.
+
+
+def _host_fingerprint() -> str:
+    """Hash of the host CPU feature set. XLA:CPU AOT executables embed
+    target machine features and loading one compiled on a different
+    machine errors (cpu_aot_loader 'machine type ... doesn't match') or
+    worse; keying the cache path by the feature set makes entries
+    host-specific even when ~/.cache rides a shared/restored disk."""
+    import hashlib as _hl
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return _hl.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _pl
+
+    return _hl.sha256(_pl.processor().encode()).hexdigest()[:12]
+
+
 _cache_dir = _os.environ.get(
-    "NOVA_TPU_XLA_CACHE", _os.path.join(_os.path.expanduser("~"), ".cache", "nova_tpu_xla")
+    "NOVA_TPU_XLA_CACHE",
+    _os.path.join(
+        _os.path.expanduser("~"), ".cache", "nova_tpu_xla-" + _host_fingerprint()
+    ),
 )
 try:
     _os.makedirs(_cache_dir, exist_ok=True)

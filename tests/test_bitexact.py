@@ -22,6 +22,25 @@ import pytest
 
 _VECTORS = os.path.join(os.path.dirname(__file__), "vectors", "golden_vectors.json")
 
+# The reference's own expect-test snapshots (the acceptance targets for a
+# bincode-exact PublicParams digest; /root/reference/src/nova/mod.rs:1128-1139
+# and src/neutron/mod.rs:547-557). Matching these requires replicating the
+# serde+bincode(legacy) byte layout of the reference's third-party structs
+# (neptune PoseidonConstants, halo2curves derive_serde points) whose sources
+# are not on disk here; nova_tpu uses its own canonical digest serialization
+# instead (nova/ivc.py). Recorded so the gap is explicit and testable the
+# moment those layouts can be verified against a Rust toolchain.
+REFERENCE_PP_DIGESTS = {
+    ("PallasEngine", "VestaEngine"): "5e8f9428786cf553693b71f43bbc810f4140a55891d63e50f764b299467b5800",
+    ("Bn256EngineIPA", "GrumpkinEngine"): "05d7396a6d9d795b73d60e26cd5738ed103951ff8da4b75c322f03d1c3097702",
+    ("Secp256k1Engine", "Secq256k1Engine"): "489310e7fe179a1e6908e2d89bd4b2089fa116ff0050993c8d8a3997ccabb000",
+}
+REFERENCE_NEUTRON_DIGESTS = {
+    "PallasEngine": "1eace7bdd6adcc1693b7a32410df94cc87ec67554bc775df7132425d7c377a01",
+    "Bn256EngineKZG": "543d44307cb6808e3b4be6ce67333f1b5bf4416a869d6c4cef93bceda0f55e01",
+    "Secp256k1Engine": "d354ec02cf4004b1c91d96fbe1b494059c96cfbac56579bc4784dc92dc0ffe03",
+}
+
 
 def _load():
     if not os.path.exists(_VECTORS):
