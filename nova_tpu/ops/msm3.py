@@ -809,6 +809,8 @@ def _fixed3_host(db: DeviceBases2, c: int, n_pad: int):
     ident = AffinePoint.identity(curve)
     pts = (pts + [ident] * n_pad)[:n_pad]
     W = (255 + c - 1) // c + 1
+    from nova_tpu import native as _native
+
     rows_x, rows_y, rows_inf = [], [], []
     cur = pts
     for w in range(W):
@@ -816,7 +818,10 @@ def _fixed3_host(db: DeviceBases2, c: int, n_pad: int):
         rows_y.extend(p.y if not p.infinity else 0 for p in cur)
         rows_inf.extend(p.infinity for p in cur)
         if w + 1 < W:
-            cur = [p.mul(1 << c) for p in cur]
+            if _native.available():
+                cur = _native.ec_scale(cur, 1 << c)
+            else:
+                cur = [p.mul(1 << c) for p in cur]
     to_mont = jf.jit("to_mont")
     fx = jnp.asarray(to_mont(jnp.asarray(jf.pack(rows_x))))
     fy = jnp.asarray(to_mont(jnp.asarray(jf.pack(rows_y))))

@@ -46,12 +46,7 @@ from nova_tpu.curves.jpoints import xyzz_add, xyzz_double, xyzz_zero
 from nova_tpu.curves.spec import AffinePoint, CurveSpec
 from nova_tpu.fields.jfield import JField
 from nova_tpu.fields.spec import NUM_LIMBS
-from nova_tpu.ops.msm import (
-    _limbs16_to_int,
-    _window_bucket_sum_body,
-    digits_for_windows,
-    scalars_to_limbs16,
-)
+from nova_tpu.ops.msm import _limbs16_to_int
 
 
 class _no_persistent_cache:
@@ -130,28 +125,33 @@ def _tree_reduce_points(jf, gathered: dict) -> dict:
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _msm_sharded_kernel(field_p: int, c: int, rounds: int, mesh, d_all, bx, by, binf):
-    """digits (W, N), bases (N, 16): N shards over 'pts'. Returns from_mont
-    (x, y, zz, zzz) each (16,), replicated."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm3_sharded_kernel(field_p: int, c: int, mesh, ulimbs, xTw, yTw, ynegTw, finfw):
+    """Sharded column-serial MSM (ops/msm3): scalars' offset limbs
+    (n_pad, L) and window-shifted bases (NL, W, n_pad) shard over 'pts' on
+    the points axis; each device sorts + accumulates its local block with
+    the complete add formulas, and the per-device XYZZ accumulators reduce
+    by all_gather + log-tree point adds. Returns from_mont (x, y, zz, zzz)
+    each (16,), replicated."""
+    from nova_tpu.ops.msm3 import _msm3_core, _num_windows, offset_digits_device
+
     jf = JField._instances[field_p]
+    W = _num_windows(c)
 
-    def body(d_loc, bx_loc, by_loc, binf_loc):
-        def one_window(d):
-            return _window_bucket_sum_body(jf, c, rounds, d, bx_loc, by_loc, binf_loc)
-
-        window_pts = jax.vmap(one_window)(d_loc)
-        rev = {k: v[::-1] for k, v in window_pts.items()}
-        acc0 = _pvary(xyzz_zero(jf, jnp.zeros((NUM_LIMBS,), jnp.uint32)), "pts")
-
-        def horner(acc, ws):
-            def dbl(_, a):
-                return xyzz_double(jf, a)
-
-            acc = jax.lax.fori_loop(0, c, dbl, acc)
-            return xyzz_add(jf, acc, ws), None
-
-        local, _ = jax.lax.scan(horner, acc0, rev)
+    def body(ul, xT, yT, ynegT, finf):
+        n_loc = ul.shape[0]
+        d = offset_digits_device(ul, c).reshape(W * n_loc)
+        s, _ = _msm3_core(
+            jf,
+            d,
+            xT.reshape(NUM_LIMBS, W * n_loc),
+            yT.reshape(NUM_LIMBS, W * n_loc),
+            ynegT.reshape(NUM_LIMBS, W * n_loc),
+            finf.reshape(W * n_loc),
+            c,
+            "complete",
+        )
+        local = {k: v[:, 0] for k, v in s.items()}
         gathered = {
             k: jax.lax.all_gather(v, "pts", axis=0) for k, v in local.items()
         }
@@ -160,46 +160,54 @@ def _msm_sharded_kernel(field_p: int, c: int, rounds: int, mesh, d_all, bx, by, 
     out = _shard_map(
         body,
         mesh,
-        in_specs=(P(None, "pts"), P("pts"), P("pts"), P("pts")),
+        in_specs=(P("pts"), P(None, None, "pts"), P(None, None, "pts"),
+                  P(None, None, "pts"), P(None, "pts")),
         out_specs=P(),
-    )(d_all, bx, by, binf)
+    )(ulimbs, xTw, yTw, ynegTw, finfw)
     res = {k: jf.from_mont(v.reshape(1, NUM_LIMBS))[0] for k, v in out.items()}
     return res["x"], res["y"], res["zz"], res["zzz"]
 
 
 def msm_sharded(
     scalars: Sequence[int],
-    bases: Sequence[AffinePoint],
-    mesh: Mesh,
-    window: int = 8,
+    bases: Sequence[AffinePoint] = None,
+    mesh: Mesh = None,
+    window: int = None,
+    device_bases=None,
 ) -> AffinePoint:
-    """Pod-sharded MSM entry point (host ints in/out)."""
-    curve = bases[0].curve
+    """Pod-sharded MSM entry point (host ints in/out) on the msm3
+    column-serial engine. `device_bases` (a DeviceBases2) reuses a cached
+    shifted-base precompute across calls (the Pedersen key path)."""
+    from nova_tpu.ops import device_ok as _device_ok
+    from nova_tpu.ops.msm3 import (
+        DeviceBases2,
+        _fixed3,
+        _next_pow2,
+        _num_windows,
+        _scalar_ulimbs,
+    )
+
+    if device_bases is None:
+        device_bases = DeviceBases2(bases[0].curve, bases)
+    curve = device_bases.curve
     jf = JField(curve.base)
+    if window is None:
+        window = 16 if _device_ok() else 8
     n_dev = mesh.devices.size
     n = len(scalars)
-    n_pad = n_dev
-    while n_pad < n:
-        n_pad *= 2
+    n_pad = max(512, _next_pow2(n), n_dev)
 
-    limbs = np.zeros((n_pad, 16), dtype=np.uint32)
-    limbs[:n] = scalars_to_limbs16(list(scalars))
-    num_bits = curve.scalar.num_bits
-    num_windows = (num_bits + window - 1) // window
-    digits = digits_for_windows(limbs, window, num_windows)
-    rounds = max(2, (n_pad // n_dev).bit_length() - 1)
-
-    xs = jf.pack([p.x for p in bases] + [0] * (n_pad - n))
-    ys = jf.pack([p.y for p in bases] + [0] * (n_pad - n))
-    infs = np.array([p.infinity for p in bases] + [True] * (n_pad - n), dtype=bool)
-    to_mont = jf.jit("to_mont")
-    bx = to_mont(jnp.asarray(xs))
-    by = to_mont(jnp.asarray(ys))
+    ulimbs = _scalar_ulimbs(list(scalars), n_pad, window)
+    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad)
+    W = _num_windows(window)
 
     with _no_persistent_cache():
-        x, y, zz, zzz = _msm_sharded_kernel(
-            jf.spec.p, window, rounds, mesh, jnp.asarray(digits), bx, by,
-            jnp.asarray(infs)
+        x, y, zz, zzz = _msm3_sharded_kernel(
+            jf.spec.p, window, mesh, jnp.asarray(ulimbs),
+            xT.reshape(NUM_LIMBS, W, n_pad),
+            yT.reshape(NUM_LIMBS, W, n_pad),
+            ynegT.reshape(NUM_LIMBS, W, n_pad),
+            finf.reshape(W, n_pad),
         )
     xv = _limbs16_to_int(np.asarray(jax.device_get(x)))
     yv = _limbs16_to_int(np.asarray(jax.device_get(y)))
@@ -292,36 +300,179 @@ def run_sharded_fold_step(mesh: Mesh, field, n: int, seed: int = 7):
     u_b = jf.const_mont(rng.randrange(p), az[:1])
     r_b = jf.const_mont(rng.randrange(p), az[:1])
 
-    # digits for a fake T-commit (host precomputation mirrors real path)
+    # T-commit through the sharded msm3 engine (same kernel as the real
+    # Pedersen mesh path)
     scalars = vec()
-    c = 8
-    from nova_tpu.curves.spec import pallas as _default_curve
-
     curve = _pick_curve_for_field(spec)
-    num_windows = (curve.scalar.num_bits + c - 1) // c
-    limbs = scalars_to_limbs16(scalars)
-    digits = digits_for_windows(limbs, c, num_windows)
-    rounds = max(2, (n // mesh.devices.size).bit_length() - 1)
-
     g = AP.generator(curve)
     bases = []
     acc = g
     for _ in range(n):
         bases.append(acc)
         acc = acc.double()
-    bx = to_mont(jnp.asarray(jf.pack([pt.x for pt in bases])))
-    by = to_mont(jnp.asarray(jf.pack([pt.y for pt in bases])))
-    binf = jnp.asarray(np.zeros(n, dtype=bool))
 
     with _no_persistent_cache():
         t_vec, w_new, e_new, s0, sinf = _fold_elementwise_kernel(
             spec.p, mesh, az, bz, cz, e_vec, w1, w2, u_b, r_b
         )
-        comm = _msm_sharded_kernel(
-            spec.p, c, rounds, mesh, jnp.asarray(digits), bx, by, binf
+    comm = msm_sharded(scalars, bases, mesh=mesh)
+    jax.block_until_ready((t_vec, w_new, e_new, s0, sinf))
+    return comm
+
+
+# ---------------------------------------------------------------------------
+# sharded outer sumcheck (the REAL Spartan prover's cubic round, distributed)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _cubic_round_sharded_kernel(field_p: int, mesh, eqZ, AZ, BZ, CZ):
+    """Round sums for sum eq*(A*B - C) over tables laid out (n_loc, D, 16)
+    with the strided (low-bits) axis sharded on 'pts': the top-variable
+    halves pair up locally, partial sums all_gather + field-add (exact
+    modular adds, so the result is bit-identical to the host prover).
+    Returns (P(0), lead, P(-1)) as (16,) Montgomery rows, replicated."""
+    jf = JField._instances[field_p]
+
+    def body(e, a, b, c):
+        e, a, b, c = e[:, 0], a[:, 0], b[:, 0], c[:, 0]
+        half = a.shape[0] // 2
+        elo, ehi = e[:half], e[half:]
+        alo, ahi = a[:half], a[half:]
+        blo, bhi = b[:half], b[half:]
+        clo, chi = c[:half], c[half:]
+        de, da = jf.sub(ehi, elo), jf.sub(ahi, alo)
+        db, dc = jf.sub(bhi, blo), jf.sub(chi, clo)
+        e0 = jf.mont_mul(elo, jf.sub(jf.mont_mul(alo, blo), clo))
+        c3 = jf.mont_mul(de, jf.mont_mul(da, db))
+        am, bm, cm = jf.sub(alo, da), jf.sub(blo, db), jf.sub(clo, dc)
+        em1 = jf.mont_mul(jf.sub(elo, de), jf.sub(jf.mont_mul(am, bm), cm))
+        part = jnp.stack(
+            [_field_sum(jf, e0), _field_sum(jf, c3), _field_sum(jf, em1)]
+        )  # (3, 16) local partials
+        allp = jax.lax.all_gather(part, "pts", axis=0)  # (D, 3, 16)
+        return (
+            _field_sum(jf, allp[:, 0]),
+            _field_sum(jf, allp[:, 1]),
+            _field_sum(jf, allp[:, 2]),
         )
-    jax.block_until_ready((t_vec, w_new, e_new, s0, sinf, comm))
-    return comm[0]
+
+    sh = P(None, "pts", None)
+    return _shard_map(
+        body, mesh, in_specs=(sh, sh, sh, sh), out_specs=(P(), P(), P())
+    )(eqZ, AZ, BZ, CZ)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _bind_sharded_kernel(field_p: int, k: int, mesh, r_mont, *polys):
+    """Bind the top variable of k (n_loc, D, 16) strided-sharded tables."""
+    jf = JField._instances[field_p]
+
+    def body(r_b, *zs):
+        out = []
+        for Z in zs:
+            z = Z[:, 0]
+            half = z.shape[0] // 2
+            lo, hi = z[:half], z[half:]
+            rb = jnp.broadcast_to(r_b, lo.shape)
+            out.append(jf.add(lo, jf.mont_mul(rb, jf.sub(hi, lo)))[:, None])
+        return tuple(out)
+
+    sh = P(None, "pts", None)
+    return _shard_map(
+        body, mesh, in_specs=(P(),) + (sh,) * k, out_specs=(sh,) * k
+    )(r_mont, *polys)
+
+
+def prove_cubic_with_three_inputs_sharded(
+    field, claim: int, taus: Sequence[int], Az, Bz, Cz, transcript, mesh: Mesh
+):
+    """Mesh-sharded variant of SumcheckProof.prove_cubic_with_three_inputs
+    (the Spartan outer sumcheck, src/spartan/sumcheck.rs:445-506):
+    evaluation tables shard strided over the 'pts' axis, each round's three
+    interpolation sums reduce exactly over ICI, binds run shard-local; the
+    last log2(D) variables (the strided bits) finish on host once one
+    element per device remains. Transcript/proof bit-identical to the host
+    and single-device provers."""
+    from nova_tpu.spartan.polys import EqPolynomial, UniPoly
+    from nova_tpu.spartan.sumcheck import SumcheckProof
+
+    p = field.p
+    num_rounds = len(taus)
+    D = mesh.devices.size
+    n = 1 << num_rounds
+    assert n % D == 0 and n // D >= 2, (n, D)
+    jf = JField(field)
+    to_mont = jf.jit("to_mont")
+
+    def dev(vals):
+        arr = to_mont(jnp.asarray(jf.pack([v % p for v in vals])))
+        resh = jax.jit(
+            lambda a: a.reshape(n // D, D, NUM_LIMBS),
+            out_shardings=NamedSharding(mesh, P(None, "pts", None)),
+        )
+        return resh(arr)
+
+    eqZ = dev(EqPolynomial.evals_from_points(field, [t % p for t in taus]))
+    AZ, BZ, CZ = dev(Az), dev(Bz), dev(Cz)
+
+    r_out: list = []
+    polys = []
+    claim_per_round = claim % p
+    local = n // D
+    with _no_persistent_cache():
+        while local > 1:
+            e0m, c3m, em1m = _cubic_round_sharded_kernel(
+                p, mesh, eqZ, AZ, BZ, CZ
+            )
+            e0, c3, em1 = jf.unpack(
+                jf.from_mont(jnp.stack([e0m, c3m, em1m]))
+            )
+            poly = UniPoly.from_evals_deg3(
+                field, [e0, (claim_per_round - e0) % p, c3, em1]
+            )
+            transcript.absorb(b"p", poly)
+            r_i = transcript.squeeze(b"c")
+            r_out.append(r_i)
+            polys.append(poly.compress())
+            claim_per_round = poly.evaluate(r_i)
+            r_mont = jf.const_mont(
+                r_i % p, jnp.zeros((1, NUM_LIMBS), jnp.uint32)
+            )[0]
+            eqZ, AZ, BZ, CZ = _bind_sharded_kernel(
+                p, 4, mesh, r_mont, eqZ, AZ, BZ, CZ
+            )
+            local //= 2
+
+    # strided tail: one element per device; finish the last log2(D)
+    # variables on host (global index == device index by construction)
+    def host_list(Zd):
+        return jf.unpack(jf.from_mont(jnp.asarray(Zd).reshape(D, NUM_LIMBS)))
+
+    E, A, B, C = host_list(eqZ), host_list(AZ), host_list(BZ), host_list(CZ)
+    while len(A) >= 2:
+        half = len(A) // 2
+        e0 = c3 = em1 = 0
+        for i in range(half):
+            de, da = E[half + i] - E[i], A[half + i] - A[i]
+            db, dc = B[half + i] - B[i], C[half + i] - C[i]
+            e0 += E[i] * (A[i] * B[i] - C[i])
+            c3 += de * da * db
+            em1 += (E[i] - de) * ((A[i] - da) * (B[i] - db) - (C[i] - dc))
+        e0, c3, em1 = e0 % p, c3 % p, em1 % p
+        poly = UniPoly.from_evals_deg3(
+            field, [e0, (claim_per_round - e0) % p, c3, em1]
+        )
+        transcript.absorb(b"p", poly)
+        r_i = transcript.squeeze(b"c")
+        r_out.append(r_i)
+        polys.append(poly.compress())
+        claim_per_round = poly.evaluate(r_i)
+        E = [(E[i] + r_i * (E[half + i] - E[i])) % p for i in range(half)]
+        A = [(A[i] + r_i * (A[half + i] - A[i])) % p for i in range(half)]
+        B = [(B[i] + r_i * (B[half + i] - B[i])) % p for i in range(half)]
+        C = [(C[i] + r_i * (C[half + i] - C[i])) % p for i in range(half)]
+
+    return SumcheckProof(polys), r_out, [A[0], B[0], C[0]]
 
 
 def _pick_curve_for_field(spec):

@@ -294,7 +294,9 @@ class CommitmentEngine:
             from nova_tpu.parallel import msm_sharded
             from nova_tpu.ops.fvec import as_list
 
-            acc = msm_sharded(as_list(v), ck.ck[: len(v)], mesh=mesh)
+            acc = msm_sharded(
+                as_list(v), mesh=mesh, device_bases=ck.device_bases2(len(v))
+            )
             if r:
                 acc = acc.add(ck.h.mul(r))
             return Commitment(acc)

@@ -156,8 +156,24 @@ class RelaxedR1CSSNARK:
         from nova_tpu.constants import DEVICE_THRESHOLD
 
         from nova_tpu.ops import device_ok
+        from nova_tpu.parallel import current_mesh
 
-        if S.num_cons >= DEVICE_THRESHOLD and device_ok():
+        _mesh = current_mesh()
+        if (
+            _mesh is not None
+            and _mesh.devices.size > 1
+            and (1 << len(tau)) // _mesh.devices.size >= 2
+        ):
+            # mesh-sharded outer sumcheck (SURVEY §2.10): tables shard over
+            # 'pts', round sums reduce exactly over the mesh; proof is
+            # bit-identical to the host prover
+            from nova_tpu.parallel import prove_cubic_with_three_inputs_sharded
+
+            sc_proof_outer, r_x, claims_outer = prove_cubic_with_three_inputs_sharded(
+                field, 0, tau, poly_Az.Z, poly_Bz.Z, poly_uCz_E.Z, transcript,
+                _mesh,
+            )
+        elif S.num_cons >= DEVICE_THRESHOLD and device_ok():
             from nova_tpu.ops.sumcheck import prove_cubic_with_three_inputs_device
 
             sc_proof_outer, r_x, claims_outer = prove_cubic_with_three_inputs_device(
