@@ -26,25 +26,71 @@ import random
 import time
 
 
-def bench_msm():
+def bench_msm(engine: str = "msm2") -> float:
+    """Steady-state device MSM throughput at 2^16, `engine` in
+    {msm3, msm2, msm1}. Called in a watchdog subprocess by main(): the
+    v2/v3 engines have large first-compile programs whose upload/compile
+    over the tunnel can stall far beyond any useful bench window."""
     from nova_tpu.curves.spec import pallas
-    from nova_tpu.ops.msm2 import DeviceBases2, msm_device2
     from nova_tpu.provider.pedersen import CommitmentEngine
 
     n = 1 << 16
     rng = random.Random(0xBE2C)
     # via the engine so the hash-to-curve generators disk-cache across runs
     bases = CommitmentEngine.setup(pallas, b"bench-msm", n - 1).ck[:n]
-    db = DeviceBases2(pallas, bases)
     scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
 
-    msm_device2(scalars, device_bases=db, reuse=True)  # compile + precompute
+    if engine == "msm3":
+        from nova_tpu.ops.msm2 import DeviceBases2
+        from nova_tpu.ops.msm3 import msm_device3
+
+        db = DeviceBases2(pallas, bases)
+        run = lambda: msm_device3(scalars, device_bases=db)
+    elif engine == "msm2":
+        from nova_tpu.ops.msm2 import DeviceBases2, msm_device2
+
+        db = DeviceBases2(pallas, bases)
+        run = lambda: msm_device2(scalars, device_bases=db, reuse=True)
+    else:
+        from nova_tpu.ops.msm import DeviceBases, msm_device
+
+        db = DeviceBases(pallas, bases)
+        run = lambda: msm_device(scalars, device_bases=db)
+
+    run()  # compile + precompute
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        msm_device2(scalars, device_bases=db, reuse=True)
+        run()
     dt = (time.perf_counter() - t0) / iters
     return n / dt
+
+
+def _bench_msm_subprocess(engine: str, timeout_s: float):
+    """Run bench_msm(engine) in a worker process with a hard timeout;
+    returns points/sec or None. A wedged tunnel or a pathological device
+    compile then costs one timeout, not the whole bench."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "print('PTS', bench.bench_msm(%r), flush=True)\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), engine)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", "-c", code],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    for line in r.stdout.splitlines():
+        if line.startswith("PTS "):
+            return float(line.split()[1])
+    return None
 
 
 def bench_fold_and_compress():
@@ -101,27 +147,71 @@ def bench_msm_host():
 def main() -> None:
     device_ok = _device_available()
     if device_ok:
-        pts_per_sec = bench_msm()
-        backend = "tpu"
+        pts_per_sec = backend = None
+        budget = float(os.environ.get("NOVA_BENCH_ENGINE_TIMEOUT", "2400"))
+        order = os.environ.get("NOVA_BENCH_ENGINES", "msm3,msm2,msm1").split(",")
+        for eng in order:
+            pts = _bench_msm_subprocess(eng, budget)
+            if pts is not None:
+                pts_per_sec, backend = pts, f"tpu ({eng})"
+                break
+        if pts_per_sec is None:
+            device_ok = False
+            fallback_reason = "device engines stalled/failed"
     else:
+        fallback_reason = "accelerator unavailable"
+    if not device_ok:
         # env var alone does not beat the axon plugin; pin the config too
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         pts_per_sec = bench_msm_host()
-        backend = "host-fallback (accelerator unavailable)"
+        backend = f"host-fallback ({fallback_reason})"
     baseline = (1 << 20) / 0.192  # reference msm_best datum
     extra = {"backend": backend}
     if not os.environ.get("NOVA_BENCH_FAST"):
-        try:
-            fold_ms, compress_s = bench_fold_and_compress()
+        # fold/compress in a watchdog subprocess too (device-kernel
+        # compiles in prove_step can stall on a flaky tunnel); falls back
+        # to a pinned-CPU measurement rather than hanging the driver
+        import subprocess
+        import sys
+
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "import bench\n"
+            "f, c = bench.bench_fold_and_compress()\n"
+            "print('FC', f, c, flush=True)\n"
+        ) % (os.path.dirname(os.path.abspath(__file__)),)
+        got = None
+        for env_extra in (
+            {},
+            {"JAX_PLATFORMS": "cpu"},
+        ):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-u", "-c", code],
+                    capture_output=True, timeout=2400, text=True,
+                    env={**os.environ, **env_extra},
+                )
+            except subprocess.TimeoutExpired:
+                continue
+            if r.returncode == 0:
+                for line in r.stdout.splitlines():
+                    if line.startswith("FC "):
+                        got = (float(line.split()[1]), float(line.split()[2]))
+                        if env_extra:
+                            extra["fold_backend"] = "cpu-fallback"
+                        break
+            if got:
+                break
+        if got:
             extra.update(
-                fold_step_ms=round(fold_ms, 1),
-                compressed_snark_prove_s=round(compress_s, 2),
+                fold_step_ms=round(got[0], 1),
+                compressed_snark_prove_s=round(got[1], 2),
             )
-        except Exception as e:  # pragma: no cover
-            extra["error"] = f"{type(e).__name__}: {e}"[:200]
+        else:
+            extra["error"] = "fold/compress bench stalled in both backends"
     print(
         json.dumps(
             {
