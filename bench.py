@@ -78,10 +78,16 @@ def _bench_msm_subprocess(engine: str, timeout_s: float):
         "import bench\n"
         "print('PTS', bench.bench_msm(%r), flush=True)\n"
     ) % (os.path.dirname(os.path.abspath(__file__)), engine)
+    env = dict(os.environ)
+    if engine == "msm3" and "NOVA_MSM_NO_PALLAS" not in env:
+        # the fused pallas msm3 program (~50 MB HLO at 2^16/c=16) has
+        # crashed the tunnel's compile worker; bench the XLA path until
+        # the pallas program shrinks (PERFORMANCE.md round-3)
+        env["NOVA_MSM_NO_PALLAS"] = "1"
     try:
         r = subprocess.run(
             [sys.executable, "-u", "-c", code],
-            capture_output=True, timeout=timeout_s, text=True,
+            capture_output=True, timeout=timeout_s, text=True, env=env,
         )
     except subprocess.TimeoutExpired:
         return None

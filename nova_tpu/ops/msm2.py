@@ -64,6 +64,14 @@ MAX_STAGE_ROUNDS = 4  # unrolled adds per stage kernel (compile-size bound)
 def _use_pallas() -> bool:
     if not _PALLAS_OK:
         return False
+    import os
+
+    if os.environ.get("NOVA_MSM_NO_PALLAS"):
+        # escape hatch: the fully-fused pallas MSM program at wide windows
+        # is large enough (~50 MB StableHLO at 2^16/c=16) that the axon
+        # tunnel's compile worker has died on it; the XLA path (~6 MB)
+        # compiles reliably
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover

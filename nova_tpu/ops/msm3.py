@@ -835,7 +835,13 @@ def _fixed3(db: DeviceBases2, c: int, n_pad: int):
     on the DeviceBases2 (once per key/size)."""
     key = ("v3", c, n_pad)
     if key not in db._fixed:
-        if _use_pallas():
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu:
+            # the device precompute compiles fine on the axon tunnel even
+            # when the fused pallas MSM program is disabled
             fx, fy, finf = db.fixed(c, n_pad)
         else:
             fx, fy, finf = _fixed3_host(db, c, n_pad)
