@@ -109,7 +109,9 @@ def bench_fold_and_compress():
     pp = PublicParams.setup(PallasEngine, VestaEngine, c)
     rs = RecursiveSNARK.new(pp, c, [0])
     rs.prove_step(pp, c)  # base-case bump
-    rs.prove_step(pp, c)  # warm (compiles)
+    rs.prove_step(pp, c)  # warm
+    rs.prove_step(pp, c)  # steady shapes appear at step 3 (folded-W sizes);
+    # this one still pays their first jit compiles
     t0 = time.perf_counter()
     rs.prove_step(pp, c)
     fold_ms = (time.perf_counter() - t0) * 1e3

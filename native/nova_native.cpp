@@ -2415,6 +2415,14 @@ void inv_mod(Ctx* C, const u64 a[4], u64 out[4]) {
   memcpy(out, is_one256(u) ? x1 : x2, 32);
 }
 
+// Montgomery -> normal form, elementwise (one REDC each). Backs the
+// FVec device->host boundary: pulling the raw Montgomery limbs and
+// reducing here is ~10x cheaper than running the from_mont program
+// through the eager XLA:CPU path.
+void vec_from_mont(Ctx* C, const u64* a, u64* out, size_t n) {
+  for (size_t i = 0; i < n; i++) fp_from_mont(*C, a + 4 * i, out + 4 * i);
+}
+
 void vec_batch_inv(Ctx* C, const u64* a, u64* out, size_t n) {
   std::vector<u64> prefix(4 * (n + 1));
   memcpy(&prefix[0], C->r1, 32);

@@ -74,6 +74,7 @@ def _build() -> Optional[ctypes.CDLL]:
                                u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_sat_check", [u64p, u64p, u64p, u64p, u64p, ctypes.c_size_t]),
         ("vec_batch_inv", [u64p, u64p, ctypes.c_size_t]),
+        ("vec_from_mont", [u64p, u64p, ctypes.c_size_t]),
         ("inv_mod", [u64p, u64p]),
         ("neutron_round", [u64p, u64p, u64p, u64p, u64p, u64p, u64p, u64p,
                            ctypes.c_size_t, ctypes.c_size_t, u64p]),
@@ -695,6 +696,15 @@ def inv_mod(p: int, a: int) -> int:
     lib.inv_mod(ctx, _inv_in_p, _inv_out_p)
     o = _inv_out
     return int(o[0]) | (int(o[1]) << 64) | (int(o[2]) << 128) | (int(o[3]) << 192)
+
+
+def vec_from_mont_l(p: int, aa: np.ndarray) -> np.ndarray:
+    """Montgomery -> normal form on (n, 4) uint64 limbs (one REDC each)."""
+    lib = _get_lib()
+    a = np.ascontiguousarray(aa)
+    out = np.empty_like(a)
+    lib.vec_from_mont(_ctx(p), _ptr64(a), _ptr64(out), a.shape[0])
+    return out
 
 
 def vec_batch_inv_l(p: int, aa: np.ndarray) -> np.ndarray:

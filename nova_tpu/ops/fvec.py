@@ -105,20 +105,40 @@ class FVec:
 
     def to_ints(self) -> List[int]:
         if self._ints is None:
-            self._ints = self.jf.unpack(_from_mont_k(self.jf.spec.p, self.m))
+            from nova_tpu import native
+
+            if native.available():
+                self._ints = native.limbs_to_ints(self.limbs64())
+            else:
+                self._ints = self.jf.unpack(
+                    _from_mont_k(self.jf.spec.p, self.m)
+                )
         return self._ints
 
     def limbs64(self) -> "np.ndarray":
         """(n, 4) uint64 little-endian normal-form limbs (the host-native
-        kernels' boundary format), cached."""
+        kernels' boundary format), cached. Pulls the RAW Montgomery limbs
+        off device (pure copy) and REDCs in C — ~10x cheaper than running
+        the from_mont program through eager XLA:CPU on the fold path."""
         l64 = getattr(self, "_limbs64", None)
         if l64 is None:
-            a = np.asarray(
-                jax.device_get(_from_mont_k(self.jf.spec.p, self.m))
-            ).astype(np.uint64)
-            l64 = (a[:, 0::4] | (a[:, 1::4] << 16)
-                   | (a[:, 2::4] << 32) | (a[:, 3::4] << 48))
-            l64 = np.ascontiguousarray(l64)
+            from nova_tpu import native
+
+            if native.available():
+                a = np.asarray(jax.device_get(self.m)).astype(np.uint64)
+                mont64 = np.ascontiguousarray(
+                    a[:, 0::4] | (a[:, 1::4] << 16)
+                    | (a[:, 2::4] << 32) | (a[:, 3::4] << 48)
+                )
+                l64 = native.vec_from_mont_l(self.jf.spec.p, mont64)
+            else:
+                a = np.asarray(
+                    jax.device_get(_from_mont_k(self.jf.spec.p, self.m))
+                ).astype(np.uint64)
+                l64 = np.ascontiguousarray(
+                    a[:, 0::4] | (a[:, 1::4] << 16)
+                    | (a[:, 2::4] << 32) | (a[:, 3::4] << 48)
+                )
             object.__setattr__(self, "_limbs64", l64)
         return l64
 
