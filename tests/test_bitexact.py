@@ -24,12 +24,40 @@ _VECTORS = os.path.join(os.path.dirname(__file__), "vectors", "golden_vectors.js
 
 # The reference's own expect-test snapshots (the acceptance targets for a
 # bincode-exact PublicParams digest; /root/reference/src/nova/mod.rs:1128-1139
-# and src/neutron/mod.rs:547-557). Matching these requires replicating the
-# serde+bincode(legacy) byte layout of the reference's third-party structs
-# (neptune PoseidonConstants, halo2curves derive_serde points) whose sources
-# are not on disk here; nova_tpu uses its own canonical digest serialization
-# instead (nova/ivc.py). Recorded so the gap is explicit and testable the
-# moment those layouts can be verified against a Rust toolchain.
+# and src/neutron/mod.rs:547-557). nova_tpu uses its own canonical digest
+# serialization (nova/ivc.py PublicParams.digest); the exact byte-stream
+# divergences from the reference's bincode(legacy, LE, fixed-int) encoding of
+# the PublicParams struct (field order at src/nova/mod.rs:86-109) are:
+#
+#   1. Prefix: ours starts with the domain tag b"nova_tpu.PublicParams" plus
+#      the two engine names; the reference stream starts directly with
+#      F_arity as u64 LE (bincode has no type tag).
+#   2. RO constants: the reference then serializes FOUR neptune
+#      `PoseidonConstants` structs (ro_consts_primary, circuit_primary,
+#      secondary, circuit_secondary) via serde — nested Vec<F> round
+#      constants/MDS matrices each with u64 length prefixes, Option/enum
+#      variant tags as u32, in neptune's private field order. Ours omits
+#      them entirely: they are derived deterministically from the field
+#      modulus (provider/poseidon.py re-derivation), so hashing them adds
+#      no binding. This is the single largest divergence (tens of KB of
+#      stream) and the part that CANNOT be replicated without the neptune
+#      crate sources (not on disk; version pinned only in Cargo.lock).
+#   3. Commitment keys: the reference dumps ck_primary/ck_secondary as
+#      length-prefixed Vec<Affine> with halo2curves `derive_serde` point
+#      encoding (x||y, two 32-byte LE field reprs per generator, identity
+#      encoded as (0,0)). Ours hashes only the key LENGTH plus the blinding
+#      generator h's transcript bytes: the generators are derived from the
+#      fixed label b"ck", so (length, h) pins the same key material.
+#   4. R1CS shapes: byte-identical layout by construction (u64 num_cons/
+#      num_vars/num_io, then A/B/C as data-vec of 32-byte LE reprs +
+#      u64 indices/indptr/cols — digest.py digest_bytes_sparse), but they
+#      appear at a different stream offset (after the ck, reference order
+#      ck_primary, shape_primary, ck_secondary, shape_secondary; ours is
+#      shapes first then ck summaries).
+#
+# Recorded so the gap is explicit and testable the moment those third-party
+# layouts can be verified against a Rust toolchain (the cargo-gated test
+# below generates the vectors automatically when one exists).
 REFERENCE_PP_DIGESTS = {
     ("PallasEngine", "VestaEngine"): "5e8f9428786cf553693b71f43bbc810f4140a55891d63e50f764b299467b5800",
     ("Bn256EngineIPA", "GrumpkinEngine"): "05d7396a6d9d795b73d60e26cd5738ed103951ff8da4b75c322f03d1c3097702",
@@ -42,11 +70,63 @@ REFERENCE_NEUTRON_DIGESTS = {
 }
 
 
+def _reference_checkout():
+    path = os.environ.get("NOVA_REFERENCE_PATH", "/root/reference")
+    return path if os.path.exists(os.path.join(path, "Cargo.toml")) else None
+
+
+def test_generate_golden_vectors_with_cargo(tmp_path):
+    """Zero-intervention vector generation (round-3 verdict item 7): when
+    a Rust toolchain AND the reference checkout are available, build
+    tools/gen_golden_vectors.rs as a scratch bin crate with a path
+    dependency on the reference and write its JSON output to
+    tests/vectors/golden_vectors.json, making the pin tests below go
+    live. Skips gracefully when cargo is absent (this environment)."""
+    import shutil
+    import subprocess
+
+    if os.path.exists(_VECTORS):
+        return  # vectors already present; nothing to generate
+    cargo = shutil.which("cargo")
+    if cargo is None:
+        pytest.skip("no Rust toolchain: cargo not on PATH")
+    ref = _reference_checkout()
+    if ref is None:
+        pytest.skip("no reference checkout (set NOVA_REFERENCE_PATH)")
+
+    crate = tmp_path / "genvec"
+    (crate / "src").mkdir(parents=True)
+    (crate / "Cargo.toml").write_text(
+        "[package]\n"
+        'name = "gen-golden-vectors"\n'
+        'version = "0.1.0"\n'
+        'edition = "2021"\n\n'
+        "[dependencies]\n"
+        'nova-snark = { path = "%s" }\n'
+        'ff = { version = "0.13.0", features = ["derive"] }\n' % ref
+    )
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "gen_golden_vectors.rs"
+    )
+    with open(src) as fh:
+        (crate / "src" / "main.rs").write_text(fh.read())
+    r = subprocess.run(
+        [cargo, "run", "--release"],
+        cwd=crate, capture_output=True, text=True, timeout=3600,
+    )
+    assert r.returncode == 0, "cargo run failed:\n" + r.stderr[-4000:]
+    vectors = json.loads(r.stdout)  # validate before committing to disk
+    os.makedirs(os.path.dirname(_VECTORS), exist_ok=True)
+    with open(_VECTORS, "w") as fh:
+        json.dump(vectors, fh, indent=1)
+
+
 def _load():
     if not os.path.exists(_VECTORS):
         pytest.skip(
             "golden_vectors.json absent: generate with tools/gen_golden_vectors.rs "
-            "against a nova-snark checkout (needs a Rust toolchain)"
+            "against a nova-snark checkout (needs a Rust toolchain; the "
+            "cargo-gated test above does this automatically when one exists)"
         )
     with open(_VECTORS) as fh:
         return json.load(fh)
