@@ -401,6 +401,27 @@ def _row_shift_static(t, s: int):
     return jnp.where(lane < (128 - rem), b1, b2)
 
 
+def _row_shift_dyn_any(t, s):
+    """partner[f] = row[f+s] for a TRACED s in [1, rows*128): the lane
+    part is a dynamic lane-roll (lowers fine), the sublane part
+    q = s // 128 — which Mosaic cannot roll dynamically — is a select
+    over the `rows` static sublane-rolls (rows is small: <= 2 at the
+    _GROUP=256 production width, so the select is one where)."""
+    rows = t.shape[0]
+    q = jax.lax.div(s, jnp.int32(128))
+    rem = jax.lax.rem(s, jnp.int32(128))
+    a = pltpu.roll(t, jax.lax.rem(jnp.int32(128) - rem, jnp.int32(128)), axis=1)
+    bq = pltpu.roll(a, (rows - (rows - 1)) % rows, axis=0)
+    bq1 = a  # roll by rows == identity
+    for k in reversed(range(rows - 1)):
+        bq = jnp.where(q == k, pltpu.roll(a, (rows - k) % rows, axis=0), bq)
+        bq1 = jnp.where(
+            q == k, pltpu.roll(a, (rows - k - 1) % rows, axis=0), bq1
+        )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    return jnp.where(lane < (128 - rem), bq, bq1)
+
+
 def _flat_iota2(rows: int):
     sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
@@ -646,9 +667,14 @@ def _bucket_reduce_call(field_key, nb: int, group: int):
       W_g = sum_{j=0..group-1} (j+1) * T[g*group + j]   (flat lane 0 of U)
       S_g = sum_j T[g*group + j]                        (flat lane 0 of S)
     via two Hillis-Steele suffix-sum passes (S after pass 1, U after pass
-    2). Shifts < 128 run in a fori_loop (one add instantiation per pass);
-    shifts >= 128 run as static rounds (dynamic sublane rolls do not
-    lower). Input arrives group-major (grid, 4, 16, group/128, 128) so the
+    2). Both passes run inside ONE fori_loop of 2*log2(group) rounds so
+    the ~26-mul complete-add formula is instantiated exactly once (the
+    old per-pass fori_loop + unrolled >=128-shift rounds put four copies
+    in the kernel, ~7.9 MB of Mosaic payload each at group=256 — the
+    dominant term of the 50 MB msm3 program the tunnel's compile worker
+    could not survive). The S snapshot lands in obuf at the pass boundary
+    via pl.when; any-size traced shifts go through _row_shift_dyn_any.
+    Input arrives group-major (grid, 4, 16, group/128, 128) so the
     per-step window is ONE contiguous DMA; outputs (grid, 8, 16, 1, 128)
     likewise."""
     field_p, p_limbs, n0inv, r_limbs = field_key
@@ -667,35 +693,23 @@ def _bucket_reduce_call(field_key, nb: int, group: int):
         P = tuple([buf[c, l] for l in range(NL)] for c in range(4))
         flat = _flat_iota2(g128)
 
-        def round_with(P, shifted, tail):
+        def body(r2, P):
+            @pl.when(r2 == logb)
+            def _():
+                for c, coord in enumerate(P):
+                    for l in range(NL):
+                        obuf[c, l] = coord[l][:1]
+
+            r = jax.lax.rem(r2, jnp.int32(logb))
+            s = jnp.left_shift(jnp.int32(1), r)
             X, Y, ZZ, ZZZ = (
-                [shifted(row) for row in coord] for coord in P
+                [_row_shift_dyn_any(row, s) for row in coord] for coord in P
             )
+            tail = flat < (group - s)
             ZZ = [jnp.where(tail, row, jnp.uint32(0)) for row in ZZ]
             return _xyzz_add_limbs(o, P, (X, Y, ZZ, ZZZ))
 
-        def body(r, P):
-            s = jnp.left_shift(jnp.int32(1), r)
-            return round_with(
-                P, lambda row: _row_shift_dyn(row, s), flat < (group - s)
-            )
-
-        def suffix_pass(P):
-            P = jax.lax.fori_loop(0, min(logb, 7), body, P)
-            for r in range(7, logb):
-                sh = 1 << r
-                P = round_with(
-                    P,
-                    lambda row, sh=sh: _row_shift_static(row, sh),
-                    flat < (group - sh),
-                )
-            return P
-
-        S = suffix_pass(P)
-        for c, coord in enumerate(S):
-            for l in range(NL):
-                obuf[c, l] = coord[l][:1]
-        U = suffix_pass(S)
+        U = jax.lax.fori_loop(0, 2 * logb, body, P)
         for c, coord in enumerate(U):
             for l in range(NL):
                 obuf[4 + c, l] = coord[l][:1]
@@ -758,13 +772,16 @@ def _bucket_reduce_pallas(jf: JField, table: dict) -> dict:
             out[k] = z.at[: G - shift].set(src[k].T[shift:])
         return out
 
-    call1 = _bucket_reduce_call(_field_key(jf), m, m)
-    # sum_g g*S_g: weighted sum of T'_i = S_{i+1}
-    o1 = call1(pack(padded(S, 1), m))
-    gS = {k: o1[0, 4 + c, :, 0, :1] for c, k in enumerate(keys)}
-    # sum_g W_g: the S output (plain fold) of the W table
-    o2 = call1(pack(padded(Wg, 0), m))
-    sW = {k: o2[0, c, :, 0, :1] for c, k in enumerate(keys)}
+    # one grid=2 call covers both combine tables (two separate calls
+    # embed the Mosaic payload twice in the program — compile size):
+    # row 0 = T'_i = S_{i+1} (its W output is sum_g g*S_g), row 1 = the
+    # W table (its S output is the plain fold sum_g W_g)
+    call1 = _bucket_reduce_call(_field_key(jf), 2 * m, m)
+    o12 = call1(
+        jnp.concatenate([pack(padded(S, 1), m), pack(padded(Wg, 0), m)])
+    )
+    gS = {k: o12[0, 4 + c, :, 0, :1] for c, k in enumerate(keys)}
+    sW = {k: o12[1, c, :, 0, :1] for c, k in enumerate(keys)}
 
     # total = m * gS + sW  (m is a power of two: log2(m) doublings)
     accT = {k: v.T for k, v in gS.items()}  # jpoints layout (1, 16)

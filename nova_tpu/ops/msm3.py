@@ -214,7 +214,14 @@ def _accum_call(field_key, R: int, c_blk: int, n_blocks: int,
             cp2.start()
             cp1.wait()
             cp2.wait()
-            for i in range(SLAB):
+
+            # one fori_loop instantiation of the ~30k-op madd body instead
+            # of SLAB unrolled copies: the unrolled kernel lowered to
+            # ~50 MB StableHLO at 2^16/c=16, which the tunnel's compile
+            # worker cannot survive (PERFORMANCE.md round-3). All loop
+            # state lives in refs (accb/prevb/badb); i only indexes the
+            # leading (tile-aligned) dim of the VMEM scratch.
+            def row_body(i, _):
                 d = dgb[i]
                 live = d != 0
                 boundary = d != prevb[0]
@@ -254,6 +261,9 @@ def _accum_call(field_key, R: int, c_blk: int, n_blocks: int,
                             boundary, Qp[c][l], S_res[c][l]
                         )
                 prevb[...] = d[None]
+                return 0
+
+            jax.lax.fori_loop(0, SLAB, row_body, 0)
             cpo = pltpu.make_async_copy(outb, flush_hbm.at[fs], sem.at[2])
             cpo.start()
             cpo.wait()

@@ -587,13 +587,46 @@ class RelaxedR1CSSNARK:
         num_rounds_inner = log2_int(pk.S_repr.N)
         tau = [transcript.squeeze(b"t") for _ in range(num_rounds_outer)]
 
-        uCz_E = [(U.u * cz + e) % p for cz, e in zip(Cz, W.E)]
+        if _native.available():
+            from nova_tpu.ops.fvec import HVec as _HVec2
+
+            uCz_E = _HVec2(p, limbs=_native.vec_axpy_l(
+                p, _vec_limbs(W.E, p), Cz.limbs64(), U.u))
+        else:
+            uCz_E = [(U.u * cz + e) % p for cz, e in zip(Cz, W.E)]
         poly_Az = MultilinearPolynomial(field, Az)
         poly_Bz = MultilinearPolynomial(field, Bz)
         poly_uCz_E = MultilinearPolynomial(field, uCz_E)
-        sc_outer, r_outer, claims_outer = SumcheckProof.prove_cubic_with_three_inputs(
-            field, 0, tau, poly_Az, poly_Bz, poly_uCz_E, transcript
-        )
+
+        # same mesh/device/host dispatch ladder as snark.py:159-186
+        # (reference hot path: ppsnark.rs:886-983); all three provers emit
+        # bit-identical proofs
+        from nova_tpu.constants import DEVICE_THRESHOLD
+        from nova_tpu.ops import device_ok
+        from nova_tpu.parallel import current_mesh
+
+        _mesh = current_mesh()
+        if (
+            _mesh is not None
+            and _mesh.devices.size > 1
+            and (1 << len(tau)) // _mesh.devices.size >= 2
+        ):
+            from nova_tpu.parallel import prove_cubic_with_three_inputs_sharded
+
+            sc_outer, r_outer, claims_outer = prove_cubic_with_three_inputs_sharded(
+                field, 0, tau, poly_Az.Z, poly_Bz.Z, poly_uCz_E.Z, transcript,
+                _mesh,
+            )
+        elif S.num_cons >= DEVICE_THRESHOLD and device_ok():
+            from nova_tpu.ops.sumcheck import prove_cubic_with_three_inputs_device
+
+            sc_outer, r_outer, claims_outer = prove_cubic_with_three_inputs_device(
+                field, 0, tau, poly_Az.Z, poly_Bz.Z, poly_uCz_E.Z, transcript
+            )
+        else:
+            sc_outer, r_outer, claims_outer = SumcheckProof.prove_cubic_with_three_inputs(
+                field, 0, tau, poly_Az, poly_Bz, poly_uCz_E, transcript
+            )
 
         eval_Az = claims_outer[0]
         eval_Bz = claims_outer[1]
