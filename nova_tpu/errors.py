@@ -25,6 +25,17 @@ class UnSatError(NovaError):
         self.reason = reason
 
 
+class TapeReplayError(UnSatError):
+    """A witness produced by replaying a compiled tape
+    (frontend/tape.py) does not satisfy the circuit's R1CS. Almost
+    always a tape-discipline violation in the step circuit: synthesize()
+    computed a value eagerly in the function body, or its Python control
+    flow / allocation structure depends on step values, so the recorded
+    trace is stale for this step. Set `tape_safe = False` on the step
+    circuit to use interpreted synthesis, or restructure allocations as
+    closures (see StepCircuit docstring, nova/circuit.py)."""
+
+
 class InvalidInitialInputLengthError(NovaError):
     """z0 length differs from the step circuit arity
     (NovaError::InvalidInitialInputLength)."""

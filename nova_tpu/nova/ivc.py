@@ -13,6 +13,7 @@ identity (src/gadgets/utils.rs:82-101).
 from __future__ import annotations
 
 import hashlib
+import os
 import secrets
 from dataclasses import dataclass, field as dc_field
 from typing import List, Optional, Sequence
@@ -25,6 +26,7 @@ from nova_tpu.errors import (
     InvalidStepOutputLengthError,
     NovaError,
     ProofVerifyError,
+    TapeReplayError,
 )
 from nova_tpu.frontend.constraint_system import SatisfyingAssignment, ShapeCS
 from nova_tpu.frontend.tape import TapeCS, trace_mode
@@ -231,6 +233,57 @@ class _CompiledAugmented:
         return [n.get_value() for n in self.z_out]
 
 
+def _tape_validate_now(step_i: int) -> bool:
+    """Post-replay witness-validation cadence. NOVA_TAPE_VALIDATE=1 (or
+    "always") checks every step, =0 disables; default checks the FIRST
+    replayed step (i == 2, where a tape-discipline violation most often
+    first diverges) and every 16th step after it — ~0.5% overhead of a
+    fold step for standing insurance."""
+    mode = os.environ.get("NOVA_TAPE_VALIDATE", "")
+    if mode in ("1", "always"):
+        return True
+    if mode == "0":
+        return False
+    return step_i >= 2 and (step_i - 2) % 16 == 0
+
+
+def _validate_replayed_witness(shape, U, W, which: str) -> None:
+    """Native SpMV residual check (Az o Bz == Cz) on a tape-generated
+    witness: a circuit whose Python control flow depends on step values
+    replays a stale trace and silently emits an invalid witness — caught
+    here with a diagnostic naming the tape discipline instead of a
+    cryptic failure at verify time. Skips the commitment re-check
+    (already paid by the caller)."""
+    from nova_tpu import native
+
+    p = shape.field.p
+    if native.available():
+        import numpy as np
+        from nova_tpu.r1cs import _vec_limbs
+
+        zl = np.vstack([
+            _vec_limbs(W.W, p),
+            native.ints_to_limbs([1] + [x % p for x in U.X]),
+        ])
+        Az, Bz, Cz = shape.multiply_vec_l(zl)
+        bad = native.vec_sat_check_l(p, Az, Bz, Cz, np.zeros_like(Az), 1)
+    else:
+        z = list(W.W) + [1] + list(U.X)
+        Az, Bz, Cz = shape.multiply_vec(z)
+        bad = any(
+            a * b % p != c_ for a, b, c_ in zip(Az, Bz, Cz)
+        )
+    if bad:
+        raise TapeReplayError(
+            f"replayed {which} witness violates its R1CS: the step "
+            "circuit broke the tape discipline (values must come from "
+            "closures over self.<state>; control flow and allocation "
+            "structure must not depend on step values). Set "
+            "tape_safe = False on the step circuit or fix synthesize(); "
+            "see StepCircuit (nova/circuit.py)."
+        )
+
+
 class RecursiveSNARK:
     """IVC state (src/nova/mod.rs:319-353)."""
 
@@ -374,6 +427,7 @@ class RecursiveSNARK:
             u=self.l_u_secondary,
             T=nifs_secondary.comm_T,
         )
+        replayed_primary = False
         with profiling.phase("synthesize_primary"):
             if not getattr(c, "tape_safe", True):
                 cs_primary = SatisfyingAssignment(e1.scalar)
@@ -389,9 +443,14 @@ class RecursiveSNARK:
                 zi_primary_vals = self._wgen_primary.z_values()
             else:
                 cs_primary, zi_primary_vals = self._wgen_primary.run(inputs_primary, c)
+                replayed_primary = True
         with profiling.phase("commit_primary"):
             l_u_primary, l_w_primary = cs_primary.r1cs_instance_and_witness(
                 pp.r1cs_shape_primary, pp.ck_primary
+            )
+        if replayed_primary and _tape_validate_now(self.i):
+            _validate_replayed_witness(
+                pp.r1cs_shape_primary, l_u_primary, l_w_primary, "primary"
             )
 
         # fold the primary circuit's instance
@@ -420,6 +479,7 @@ class RecursiveSNARK:
             u=l_u_primary,
             T=nifs_primary.comm_T,
         )
+        replayed_secondary = False
         with profiling.phase("synthesize_secondary"):
             if self._wgen_secondary is None:
                 self._wgen_secondary = _CompiledAugmented(
@@ -429,9 +489,14 @@ class RecursiveSNARK:
                 cs_secondary = self._wgen_secondary.cs
             else:
                 cs_secondary, _ = self._wgen_secondary.run(inputs_secondary)
+                replayed_secondary = True
         with profiling.phase("commit_secondary"):
             l_u_secondary, l_w_secondary = cs_secondary.r1cs_instance_and_witness(
                 pp.r1cs_shape_secondary, pp.ck_secondary
+            )
+        if replayed_secondary and _tape_validate_now(self.i):
+            _validate_replayed_witness(
+                pp.r1cs_shape_secondary, l_u_secondary, l_w_secondary, "secondary"
             )
 
         self.zi = zi_primary_vals

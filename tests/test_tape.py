@@ -95,6 +95,55 @@ def test_tape_per_step_advice_rebinds():
     assert rs.verify(pp, 4, [chain[0]]) == [chain[4]]
 
 
+class EagerSquareCircuit(StepCircuit):
+    """Deliberately tape-UNSAFE: the witness for y = z^2 is computed
+    eagerly in the synthesize body, so replays bake in the tracing
+    step's value while the in-circuit z moves on."""
+
+    def __init__(self, x=0):
+        self.x = x
+
+    def arity(self):
+        return 1
+
+    def synthesize(self, cs, z):
+        from nova_tpu.frontend.constraint_system import lc
+
+        sq = self.x * self.x  # EAGER: breaks the closure discipline
+        y = AllocatedNum.alloc(cs, lambda: sq % cs.field.p)
+        cs.enforce(
+            lc((1, z[0].get_variable())),
+            lc((1, z[0].get_variable())),
+            lc((1, y.get_variable())),
+        )
+        return [y]
+
+
+def test_tape_unsafe_circuit_diagnosed_at_prove_step():
+    """A tape-discipline violation must raise TapeReplayError at the
+    first replayed prove_step (post-replay SpMV validation) instead of a
+    late, uninformative verify failure."""
+    import pytest
+
+    from nova_tpu.errors import TapeReplayError
+
+    pp = PublicParams.setup(PallasEngine, VestaEngine, EagerSquareCircuit(0))
+    rs = RecursiveSNARK.new(pp, EagerSquareCircuit(3), [3])
+    rs.prove_step(pp, EagerSquareCircuit(int(rs.zi[0])))  # base bump
+    rs.prove_step(pp, EagerSquareCircuit(int(rs.zi[0])))  # traces the tape
+    with pytest.raises(TapeReplayError):
+        # first replay: the stale eager value no longer satisfies z*z=y
+        rs.prove_step(pp, EagerSquareCircuit(int(rs.zi[0])))
+
+    # the documented opt-out takes the interpreted path and stays sound
+    rs2 = RecursiveSNARK.new(pp, EagerSquareCircuit(3), [3])
+    for _ in range(3):
+        c = EagerSquareCircuit(int(rs2.zi[0]))
+        c.tape_safe = False
+        rs2.prove_step(pp, c)
+    assert rs2.verify(pp, 3, [3])
+
+
 def test_tape_ivc_verifies_multiple_steps():
     c = TrivialCircuit()
     pp = PublicParams.setup(PallasEngine, VestaEngine, c)
