@@ -56,11 +56,14 @@ def _host_fingerprint() -> str:
     return _hl.sha256(_pl.processor().encode()).hexdigest()[:12]
 
 
-_cache_dir = _os.environ.get(
-    "NOVA_TPU_XLA_CACHE",
-    _os.path.join(
+_cache_dir = (
+    # explicit settings win, in specificity order; the fingerprinted
+    # default only applies when the user asked for nothing
+    _os.environ.get("NOVA_TPU_XLA_CACHE")
+    or _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    or _os.path.join(
         _os.path.expanduser("~"), ".cache", "nova_tpu_xla-" + _host_fingerprint()
-    ),
+    )
 )
 try:
     _os.makedirs(_cache_dir, exist_ok=True)

@@ -53,9 +53,19 @@ class _no_persistent_cache:
     """Disable the persistent compilation cache around the big shard_map
     programs: XLA:CPU's executable (de)serialization segfaults on them
     (observed repeatedly in put/get_executable during the test suite), and
-    they are the only programs large enough to trigger it."""
+    they are the only programs large enough to trigger it.
+
+    NOVA_TPU_SHARDMAP_CACHE=1 neutralizes the guard — the re-test lever
+    for perf/repro_xla_cpu_cache.py's finding that the crash needs a
+    long-lived heap-churned process (run the full suite with it set; if
+    the segfault is gone on the current jax, delete this class)."""
 
     def __enter__(self):
+        import os
+
+        if os.environ.get("NOVA_TPU_SHARDMAP_CACHE") == "1":
+            self._cm = None
+            return self
         from jax._src import config as _jc
 
         self._cm = _jc.enable_compilation_cache(False)
@@ -63,6 +73,8 @@ class _no_persistent_cache:
         return self
 
     def __exit__(self, *exc):
+        if self._cm is None:
+            return False
         return self._cm.__exit__(*exc)
 
 
