@@ -262,7 +262,9 @@ def _main_guarded() -> None:
     device_ok = _device_available(min(180.0, max(_remaining() - 120, 10)))
     if device_ok:
         order = os.environ.get("NOVA_BENCH_ENGINES", "msm2,msm1").split(",")
+        tried = 0
         for eng in (e.strip() for e in order if e.strip()):
+            tried += 1
             slice_s = min(
                 float(os.environ.get("NOVA_BENCH_ENGINE_TIMEOUT", "900")),
                 _remaining() - 30,
@@ -285,7 +287,11 @@ def _main_guarded() -> None:
                 break
         else:
             if _state["backend"]:
-                _state["backend"] = "host-fallback (device engines stalled/failed)"
+                _state["backend"] = (
+                    "host-fallback (device engines stalled/failed)"
+                    if tried
+                    else "host-fallback (no device engine configured)"
+                )
     elif _state["backend"]:
         _state["backend"] = "host-fallback (accelerator unavailable)"
 

@@ -618,6 +618,125 @@ def _bucket_totals(jf: JField, sorted_d, flush, colend, d_cm,
     return xyzz_add(jf, acc, l3)
 
 
+# --------------------------------------------------------------------------
+# split-phase pipeline (the single-program form below, _msm3_core, hangs
+# XLA's compiler at bench sizes: every piece compiles in seconds-to-minutes
+# alone — accum kernel 10 s, 33-operand sort 8.6 s, bucket recovery 108 s
+# at 2^16/c=16 — but the fused graph sat >46 min in the tunnel's compile
+# worker without returning. Three separately-jitted programs with
+# device-resident intermediates sidestep whatever superlinear pass that
+# is, compile-cache independently, and let the degenerate-retry path
+# reuse the sort phase. Used by msm_device3/msm_device3_mont on the
+# Pallas path; _msm3_core stays for shard_map and the XLA fallback.
+# --------------------------------------------------------------------------
+
+
+def _sortpack_tail(jf: JField, d, xT, yT, ynegT, finf):
+    """Trace-level: digits+points -> (sorted_d (R*C,), st (2*NL, R*C))."""
+    n_s = d.shape[0]
+    absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.int32)
+    dneg = d < 0
+    R, C = _grid_shape(n_s)
+    pad = R * C - n_s
+    x_cols = [xT[l] for l in range(NUM_LIMBS)]
+    y_cols = [jnp.where(dneg, ynegT[l], yT[l]) for l in range(NUM_LIMBS)]
+    outs = jax.lax.sort(
+        tuple([absd] + x_cols + y_cols), num_keys=1, is_stable=False
+    )
+    sorted_d = outs[0]
+    st = jnp.stack(outs[1:])
+    if pad:
+        sorted_d = jnp.concatenate([jnp.zeros((pad,), jnp.int32), sorted_d])
+        st = jnp.concatenate(
+            [jnp.zeros((2 * NUM_LIMBS, pad), jnp.uint32), st], axis=1
+        )
+    return sorted_d, st
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _p3_sortpack(field_p: int, c: int, ulimbs, xT, yT, ynegT, finf):
+    jf = JField._instances[field_p]
+    n = ulimbs.shape[0]
+    d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
+    return _sortpack_tail(jf, d, xT, yT, ynegT, finf)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _p3_sortpack_m(scalar_p: int, base_p: int, c: int, marr,
+                   xT, yT, ynegT, finf):
+    """Montgomery-scalar variant (scalars never touch the host)."""
+    sf = JField._instances[scalar_p]
+    jf = JField._instances[base_p]
+    n = marr.shape[0]
+    s16 = sf.from_mont(marr)
+    u = add_offset_device(s16, c)
+    d = offset_digits_device(u, c).reshape(_num_windows(c) * n)
+    return _sortpack_tail(jf, d, xT, yT, ynegT, finf)
+
+
+@functools.lru_cache(maxsize=None)
+def _p3_accum(field_key, R: int, C: int, mode: str):
+    """jitted: (sorted_d, st) -> (flush, colend, flag-scalar)."""
+    c_blk = min(C_BLK, C)
+    n_blocks = C // c_blk
+    c128 = c_blk // 128
+    n_slabs = R // SLAB
+    call = _accum_call(field_key, R, c_blk, n_blocks, True, mode)
+
+    @jax.jit
+    def run(sorted_d, st):
+        pts = st.reshape(
+            2, NUM_LIMBS, n_blocks, c128, 128, n_slabs, SLAB
+        ).transpose(2, 5, 6, 0, 1, 3, 4)
+        digs = sorted_d.reshape(
+            n_blocks, c128, 128, n_slabs, SLAB
+        ).transpose(0, 3, 4, 1, 2)
+        flush, colend, flag = call(pts, digs)
+        return flush, colend, jnp.max(flag)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _p3_finish(field_p: int, c: int, R: int, C: int, mode: str):
+    """jitted: (sorted_d, flush, colend) -> standard-form XYZZ rows."""
+    jf = JField._instances[field_p]
+    nb = 1 << (c - 1)
+    c_blk = min(C_BLK, C)
+
+    @jax.jit
+    def run(sorted_d, flush, colend):
+        d_cm = sorted_d.reshape(C, R).T
+        totals = _bucket_totals(
+            jf, sorted_d, flush, colend, d_cm, R, C, c_blk, nb, True, mode
+        )
+        s = _bucket_reduce(jf, totals)
+        return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
+
+    return run
+
+
+def _msm3_phased(jf: JField, sorted_d, st, c: int, n_s: int):
+    """Run accumulate+finish on a sorted/packed input, with the
+    complete-formula retry when a degenerate fast-add was flagged (the
+    sort phase is reused across the retry). n_s = unpadded pair count
+    (the _grid_shape key; sorted_d is padded to R*C)."""
+    R, C = _grid_shape(n_s)
+    assert R * C == sorted_d.shape[0], (R, C, sorted_d.shape)
+    fkey = _field_key(jf)
+    flush, colend, flag = _p3_accum(fkey, R, C, "fast")(sorted_d, st)
+    out = _p3_finish(jf.spec.p, c, R, C, "fast")(sorted_d, flush, colend)
+    out, flag = jax.device_get((out, flag))
+    if int(flag):
+        flush, colend, _ = _p3_accum(fkey, R, C, "complete")(sorted_d, st)
+        out = jax.device_get(
+            _p3_finish(jf.spec.p, c, R, C, "complete")(
+                sorted_d, flush, colend
+            )
+        )
+    return out
+
+
 def _msm3_core(jf: JField, d, xT, yT, ynegT, finf, c: int, mode: str):
     """Shared program body. d: (n_s,) int32 signed digits over the joint
     window space; xT/yT/ynegT: (NL, n_s) Montgomery limb rows (transposed
@@ -761,6 +880,14 @@ def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16):
     sf = JField(curve.scalar)
     bf = JField(curve.base)
     xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad)
+    if _use_pallas():
+        sorted_d, st = _p3_sortpack_m(
+            sf.spec.p, bf.spec.p, window, marr, xT, yT, ynegT, finf
+        )
+        out = _msm3_phased(
+            bf, sorted_d, st, window, _num_windows(window) * n_pad
+        )
+        return _xyzz_row_to_affine(curve, out)
     out, flag = jax.device_get(
         _msm3_program_m(
             sf.spec.p, bf.spec.p, window, "fast", marr, xT, yT, ynegT, finf
@@ -887,6 +1014,14 @@ def msm_device3(
     n_pad = max(512, _next_pow2(n))
     ulimbs = _scalar_ulimbs(scalars, n_pad, window)
     xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad)
+    if _use_pallas():
+        sorted_d, st = _p3_sortpack(
+            jf.spec.p, window, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+        )
+        out = _msm3_phased(
+            jf, sorted_d, st, window, _num_windows(window) * n_pad
+        )
+        return _xyzz_row_to_affine(curve, out)
     out, flag = jax.device_get(
         _msm3_program(
             jf.spec.p, window, jnp.asarray(ulimbs), xT, yT, ynegT, finf
