@@ -94,7 +94,10 @@ def _on_signal(signum, frame):  # noqa: ANN001 - signal signature
             p.kill()
         except OSError:
             pass
-    os._exit(0)
+    # distinct exit status: a signal-interrupted partial run must not
+    # look like a clean completion to wrappers that check rc (ADVICE r4);
+    # the JSON line was already flushed above so the artifact survives
+    os._exit(128 + int(signum))
 
 
 # ----------------------------------------------------------- measurements
@@ -282,8 +285,15 @@ def _main_guarded() -> None:
                 env_extra,
             )
             if got:
-                _state["value"] = float(got[0])
-                _state["backend"] = f"tpu ({eng})"
+                # "upgrade" semantics: keep whichever number is higher —
+                # a device engine slower than the host native path must
+                # not replace the better measurement (ADVICE r4)
+                val = float(got[0])
+                if _state["value"] is None or val > _state["value"]:
+                    _state["value"] = val
+                    _state["backend"] = f"tpu ({eng})"
+                else:
+                    _state["extra"][f"tpu_{eng}_pts_per_s"] = round(val, 1)
                 break
         else:
             if _state["backend"]:

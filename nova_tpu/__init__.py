@@ -56,15 +56,25 @@ def _host_fingerprint() -> str:
     return _hl.sha256(_pl.processor().encode()).hexdigest()[:12]
 
 
-_cache_dir = (
-    # explicit settings win, in specificity order; the fingerprinted
-    # default only applies when the user asked for nothing
-    _os.environ.get("NOVA_TPU_XLA_CACHE")
-    or _os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    or _os.path.join(
+def _resolve_cache_dir() -> str:
+    # NOVA_TPU_XLA_CACHE (project-specific, explicit) wins verbatim.
+    explicit = _os.environ.get("NOVA_TPU_XLA_CACHE")
+    if explicit:
+        return explicit
+    # An ambient JAX_COMPILATION_CACHE_DIR is respected as a *root* but
+    # keyed by the host fingerprint underneath: XLA:CPU AOT executables
+    # embed target machine features, and loading an entry compiled on a
+    # different machine can SIGILL — a shared/restored cache dir must not
+    # defeat the per-host isolation (round-4 regression, VERDICT r4 #5).
+    ambient = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if ambient:
+        return _os.path.join(ambient, "host-" + _host_fingerprint())
+    return _os.path.join(
         _os.path.expanduser("~"), ".cache", "nova_tpu_xla-" + _host_fingerprint()
     )
-)
+
+
+_cache_dir = _resolve_cache_dir()
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -18,10 +18,14 @@ BN_N_LIMBS = 4
 # device kernels; below it the C++ host kernels (nova_tpu.native) win on
 # latency. With the accelerator behind a network tunnel each dispatch costs
 # ~0.5-2s, so the crossover sits high; on locally-attached chips it drops.
-DEVICE_THRESHOLD = 1 << 17
+import os as _os
+
+DEVICE_THRESHOLD = int(_os.environ.get("NOVA_DEVICE_THRESHOLD", str(1 << 17)))
 
 # Crossover for the fully device-resident fold pipeline (FVec state, fused
 # commit_T program, Montgomery-scalar MSM). Lower than DEVICE_THRESHOLD:
 # the fused path pays ~2 dispatches per cross-term instead of ~10 eager
 # kernel calls, so it wins already at augmented-circuit size (2^14).
-FOLD_DEVICE_THRESHOLD = 1 << 13
+FOLD_DEVICE_THRESHOLD = int(
+    _os.environ.get("NOVA_FOLD_DEVICE_THRESHOLD", str(1 << 13))
+)

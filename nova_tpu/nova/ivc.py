@@ -240,11 +240,14 @@ def _tape_validate_now(step_i: int) -> bool:
     first diverges) and every 16th step after it — ~0.5% overhead of a
     fold step for standing insurance."""
     mode = os.environ.get("NOVA_TAPE_VALIDATE", "")
-    if mode in ("1", "always"):
-        return True
-    if mode == "0":
+    if mode == "":
+        return step_i >= 2 and (step_i - 2) % 16 == 0
+    if mode in ("0", "never", "off", "false"):
         return False
-    return step_i >= 2 and (step_i - 2) % 16 == 0
+    # any other non-empty value ("1", "always", "true", "yes", ...) means
+    # the user asked for validation: check every step rather than
+    # silently downgrading a typo to the sampled cadence
+    return True
 
 
 def _validate_replayed_witness(shape, U, W, which: str) -> None:

@@ -1219,10 +1219,15 @@ def msm_device2(
     chunk = min(GRAIN, n_pad)
 
     if reuse:
+        from nova_tpu.ops.aot import aot_call
+
         fx, fy, finf = device_bases.fixed(window, n_pad)
         out, flag = jax.device_get(
-            _msm2_fixed_program(
-                jf.spec.p, window, chunk, jnp.asarray(limbs), fx, fy, finf
+            aot_call(
+                _msm2_fixed_program,
+                (jf.spec.p, window, chunk, jnp.asarray(limbs), fx, fy, finf),
+                static_key=(jf.spec.p, window, chunk),
+                label="msm2_fixed",
             )
         )
         if int(flag):

@@ -71,24 +71,34 @@ SLAB = 8  # rows per DMA slab
 C_BLK = 1024  # lanes per kernel block
 
 
-def _num_windows(c: int) -> int:
-    return (255 + c - 1) // c + 1
+def _num_windows(c: int, max_bits: int = None) -> int:
+    """Window count covering `max_bits`-bit scalars (default: full
+    255-bit field scalars). Small-scalar MSMs (the reference's msm_small
+    routing, src/provider/msm.rs:469-530) pass the caller's bit bound so
+    a 1/10/16-bit commit pays 1-2 windows instead of 17."""
+    if max_bits is None:
+        return (255 + c - 1) // c + 1
+    # signed-digit offset needs u = s + offset < 2^(c*W); offset is just
+    # over 2^(c*W-1), so c*W >= max_bits + 2 guarantees headroom
+    return max(1, -(-(max_bits + 2) // c))
 
 
-def _offset_int(c: int) -> int:
+def _offset_int(c: int, W: int = None) -> int:
     """sum_w 2^(c-1) * 2^(c*w): adding this to a scalar makes its
     unsigned base-2^c digits u_w satisfy d_w = u_w - 2^(c-1) in
     [-2^(c-1), 2^(c-1)-1] with sum d_w 2^(cw) = s — signed digits with
     no carry chain (the device-side lax.scan carry propagation measured
     tens of ms through the remote backend)."""
-    W = _num_windows(c)
+    if W is None:
+        W = _num_windows(c)
     return sum(1 << (c - 1 + c * w) for w in range(W))
 
 
-def _scalar_ulimbs(scalars, n_pad: int, c: int) -> np.ndarray:
-    """(n_pad, L) uint32 16-bit limbs of s + _offset_int(c)."""
-    off = _offset_int(c)
-    W = _num_windows(c)
+def _scalar_ulimbs(scalars, n_pad: int, c: int, W: int = None) -> np.ndarray:
+    """(n_pad, L) uint32 16-bit limbs of s + _offset_int(c, W)."""
+    if W is None:
+        W = _num_windows(c)
+    off = _offset_int(c, W)
     nbytes = (c * W + 15) // 16 * 2
     L = nbytes // 2
     buf = b"".join((int(s) + off).to_bytes(nbytes, "little") for s in scalars)
@@ -105,11 +115,12 @@ def _scalar_ulimbs(scalars, n_pad: int, c: int) -> np.ndarray:
     return limbs
 
 
-def offset_digits_device(ulimbs, c: int):
+def offset_digits_device(ulimbs, c: int, W: int = None):
     """(N, L) 16-bit limbs of s+offset -> (W, N) int32 signed digits
     (pure bit slicing; no scan)."""
     n, L = ulimbs.shape
-    W = _num_windows(c)
+    if W is None:
+        W = _num_windows(c)
     mask = jnp.uint32((1 << c) - 1)
     half = jnp.int32(1 << (c - 1))
     outs = []
@@ -632,19 +643,37 @@ def _bucket_totals(jf: JField, sorted_d, flush, colend, d_cm,
 
 
 def _sortpack_tail(jf: JField, d, xT, yT, ynegT, finf):
-    """Trace-level: digits+points -> (sorted_d (R*C,), st (2*NL, R*C))."""
+    """Trace-level: digits+points -> (sorted_d (R*C,), st (2*NL, R*C)).
+
+    Round-5 rewrite, third design. History: (1) one 33-operand variadic
+    sort (key + 32 point-limb payloads) hangs the tunnel's compile
+    worker at bench sizes (standalone _p3_sortpack at 2^14/c=16 sat
+    >18 min in compile); (2) 2-operand sort + row gather of the
+    (n_s, 2*NL) points compiles in seconds but the gather executes at
+    ~3.5 GB/s (~50 ms at 2^16/c=13 — measured this round; the round-2
+    "<0.05 ms gather" probe timed only the async dispatch). This form:
+    FOUR 9-operand STABLE sorts, each moving 8 payload limbs — the
+    shape the round-2 probes measured at payload streaming bandwidth
+    (0.7 ms at 2^20). Stability makes all four produce the identical
+    permutation for equal keys, so the groups concatenate exactly."""
     n_s = d.shape[0]
     absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.int32)
     dneg = d < 0
     R, C = _grid_shape(n_s)
     pad = R * C - n_s
-    x_cols = [xT[l] for l in range(NUM_LIMBS)]
-    y_cols = [jnp.where(dneg, ynegT[l], yT[l]) for l in range(NUM_LIMBS)]
-    outs = jax.lax.sort(
-        tuple([absd] + x_cols + y_cols), num_keys=1, is_stable=False
-    )
-    sorted_d = outs[0]
-    st = jnp.stack(outs[1:])
+    cols = [xT[l] for l in range(NUM_LIMBS)] + [
+        jnp.where(dneg, ynegT[l], yT[l]) for l in range(NUM_LIMBS)
+    ]
+    G = 8  # payload operands per sort
+    sorted_cols = []
+    sorted_d = None
+    for g in range(0, 2 * NUM_LIMBS, G):
+        outs = jax.lax.sort(
+            tuple([absd] + cols[g : g + G]), num_keys=1, is_stable=True
+        )
+        sorted_d = outs[0]
+        sorted_cols.extend(outs[1:])
+    st = jnp.stack(sorted_cols)  # (2*NL, n_s)
     if pad:
         sorted_d = jnp.concatenate([jnp.zeros((pad,), jnp.int32), sorted_d])
         st = jnp.concatenate(
@@ -653,24 +682,24 @@ def _sortpack_tail(jf: JField, d, xT, yT, ynegT, finf):
     return sorted_d, st
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _p3_sortpack(field_p: int, c: int, ulimbs, xT, yT, ynegT, finf):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _p3_sortpack(field_p: int, c: int, W: int, ulimbs, xT, yT, ynegT, finf):
     jf = JField._instances[field_p]
     n = ulimbs.shape[0]
-    d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
+    d = offset_digits_device(ulimbs, c, W).reshape(W * n)
     return _sortpack_tail(jf, d, xT, yT, ynegT, finf)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _p3_sortpack_m(scalar_p: int, base_p: int, c: int, marr,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _p3_sortpack_m(scalar_p: int, base_p: int, c: int, W: int, marr,
                    xT, yT, ynegT, finf):
     """Montgomery-scalar variant (scalars never touch the host)."""
     sf = JField._instances[scalar_p]
     jf = JField._instances[base_p]
     n = marr.shape[0]
     s16 = sf.from_mont(marr)
-    u = add_offset_device(s16, c)
-    d = offset_digits_device(u, c).reshape(_num_windows(c) * n)
+    u = add_offset_device(s16, c, W)
+    d = offset_digits_device(u, c, W).reshape(W * n)
     return _sortpack_tail(jf, d, xT, yT, ynegT, finf)
 
 
@@ -721,11 +750,23 @@ def _msm3_phased(jf: JField, sorted_d, st, c: int, n_s: int):
     complete-formula retry when a degenerate fast-add was flagged (the
     sort phase is reused across the retry). n_s = unpadded pair count
     (the _grid_shape key; sorted_d is padded to R*C)."""
+    from nova_tpu.ops.aot import aot_call
+
     R, C = _grid_shape(n_s)
     assert R * C == sorted_d.shape[0], (R, C, sorted_d.shape)
     fkey = _field_key(jf)
-    flush, colend, flag = _p3_accum(fkey, R, C, "fast")(sorted_d, st)
-    out = _p3_finish(jf.spec.p, c, R, C, "fast")(sorted_d, flush, colend)
+    flush, colend, flag = aot_call(
+        _p3_accum(fkey, R, C, "fast"),
+        (sorted_d, st),
+        static_key=(fkey[0], R, C, "fast"),
+        label="p3_accum",
+    )
+    out = aot_call(
+        _p3_finish(jf.spec.p, c, R, C, "fast"),
+        (sorted_d, flush, colend),
+        static_key=(jf.spec.p, c, R, C, "fast"),
+        label="p3_finish",
+    )
     out, flag = jax.device_get((out, flag))
     if int(flag):
         flush, colend, _ = _p3_accum(fkey, R, C, "complete")(sorted_d, st)
@@ -743,33 +784,14 @@ def _msm3_core(jf: JField, d, xT, yT, ynegT, finf, c: int, mode: str):
     so each limb is a sort operand); finf: (n_s,). Returns ((16, 1) XYZZ
     sum in standard form, flag).
 
-    The points travel THROUGH the variadic sort as 32 extra u32 operands:
-    XLA's TPU sort moves payload at streaming bandwidth (~0.7 ms for 8
-    operands at 2^20) whereas a post-sort row gather runs at ~3-10 GB/s
-    (50 ms for the same data) — gathers are the enemy on this backend."""
+    Sort/gather strategy shared with _sortpack_tail (round-5 rewrite:
+    2-operand sort + leading-axis row gather; the 33-operand variadic
+    sort hung the tunnel's compile worker at bench sizes)."""
     n_s = d.shape[0]
-    absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.int32)
-    dneg = d < 0
     nb = 1 << (c - 1)
     R, C = _grid_shape(n_s)
-    pad = R * C - n_s
 
-    x_cols = [xT[l] for l in range(NUM_LIMBS)]
-    y_cols = [
-        jnp.where(dneg, ynegT[l], yT[l]) for l in range(NUM_LIMBS)
-    ]
-    outs = jax.lax.sort(
-        tuple([absd] + x_cols + y_cols), num_keys=1, is_stable=False
-    )
-    sorted_d = outs[0]
-    st = jnp.stack(outs[1:])  # (2*NL, n_s) in sorted order
-    if pad:
-        sorted_d = jnp.concatenate(
-            [jnp.zeros((pad,), jnp.int32), sorted_d]
-        )
-        st = jnp.concatenate(
-            [jnp.zeros((2 * NUM_LIMBS, pad), jnp.uint32), st], axis=1
-        )
+    sorted_d, st = _sortpack_tail(jf, d, xT, yT, ynegT, finf)
 
     d_cm = sorted_d.reshape(C, R).T  # (R, C) grid rows
 
@@ -811,26 +833,34 @@ def _msm3_core(jf: JField, d, xT, yT, ynegT, finf, c: int, mode: str):
     return s, flagv
 
 
-def _off_limbs16(c: int) -> np.ndarray:
-    off = _offset_int(c)
-    W = _num_windows(c)
+def _off_limbs16(c: int, W: int = None) -> np.ndarray:
+    if W is None:
+        W = _num_windows(c)
+    off = _offset_int(c, W)
     nbytes = (c * W + 15) // 16 * 2
     return np.frombuffer(
         off.to_bytes(nbytes, "little"), dtype="<u2"
     ).astype(np.uint32)
 
 
-def add_offset_device(s16, c: int):
+def add_offset_device(s16, c: int, W: int = None):
     """(n, 16) standard-form 16-bit limbs -> (n, L) limbs of
-    s + _offset_int(c), carries resolved by Kogge-Stone generate/propagate
-    rounds over the limb axis (log2(L) elementwise steps, no scan)."""
+    s + _offset_int(c, W), carries resolved by Kogge-Stone
+    generate/propagate rounds over the limb axis (log2(L) elementwise
+    steps, no scan). With a small W (small-scalar MSM) the offset spans
+    fewer limbs than the scalar; limbs are padded to a common width so
+    digit extraction below window W stays exact."""
     n = s16.shape[0]
-    offl = _off_limbs16(c)
-    L = offl.shape[0]
+    offl = _off_limbs16(c, W)
+    L = max(offl.shape[0], s16.shape[1])
     a = s16
-    if L > NUM_LIMBS:
+    if L > s16.shape[1]:
         a = jnp.concatenate(
-            [a, jnp.zeros((n, L - NUM_LIMBS), jnp.uint32)], axis=1
+            [a, jnp.zeros((n, L - s16.shape[1]), jnp.uint32)], axis=1
+        )
+    if L > offl.shape[0]:
+        offl = np.concatenate(
+            [offl, np.zeros(L - offl.shape[0], np.uint32)]
         )
     s = a + jnp.asarray(offl)[None, :]
     G = (s >> 16) != 0
@@ -846,8 +876,8 @@ def add_offset_device(s16, c: int):
     return (s + cin.astype(jnp.uint32)) & jnp.uint32(0xFFFF)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _msm3_program_m(scalar_p: int, base_p: int, c: int, mode: str,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _msm3_program_m(scalar_p: int, base_p: int, c: int, W: int, mode: str,
                     marr, xT, yT, ynegT, finf):
     """MSM with device-resident Montgomery scalars: the scalar vector
     never touches the host (kills the pack/unpack tax on commit paths).
@@ -857,21 +887,29 @@ def _msm3_program_m(scalar_p: int, base_p: int, c: int, mode: str,
     jf = JField._instances[base_p]
     n = marr.shape[0]
     s16 = sf.from_mont(marr)
-    u = add_offset_device(s16, c)
-    d = offset_digits_device(u, c).reshape(_num_windows(c) * n)
+    u = add_offset_device(s16, c, W)
+    d = offset_digits_device(u, c, W).reshape(W * n)
     s, flag = _msm3_core(jf, d, xT, yT, ynegT, finf, c, mode)
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
 
 
-def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16):
+def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16,
+                     max_bits: int = None):
     """Fixed-base MSM over a (n, 16) uint32 Montgomery-form device array
-    of scalars in the curve's scalar field (e.g. an FVec's .m)."""
+    of scalars in the curve's scalar field (e.g. an FVec's .m).
+
+    `max_bits` is the caller's bound on scalar bit width (the reference's
+    msm_small contract, src/provider/msm.rs:469-530): only enough windows
+    to cover it are decomposed/accumulated, so a 16-bit commit pays 2
+    windows instead of 17. Scalars above the bound give WRONG results —
+    the bound is the caller's promise, exactly as in the reference."""
     n = int(marr.shape[0])
     curve = device_bases.curve
     if not _use_pallas():
         # CPU fallback: wide windows explode the 2^(c-1)-bucket lookup
         # tables the XLA path compiles; tests only need correctness
         window = min(window, 9)
+    W = _num_windows(window, max_bits)
     n_pad = max(512, _next_pow2(n))
     if n_pad != n:
         marr = jnp.concatenate(
@@ -879,44 +917,49 @@ def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16):
         )
     sf = JField(curve.scalar)
     bf = JField(curve.base)
-    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad)
+    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad, W)
     if _use_pallas():
-        sorted_d, st = _p3_sortpack_m(
-            sf.spec.p, bf.spec.p, window, marr, xT, yT, ynegT, finf
+        from nova_tpu.ops.aot import aot_call
+
+        sorted_d, st = aot_call(
+            _p3_sortpack_m,
+            (sf.spec.p, bf.spec.p, window, W, marr, xT, yT, ynegT, finf),
+            static_key=(sf.spec.p, bf.spec.p, window, W),
+            label="p3_sortpack_m",
         )
-        out = _msm3_phased(
-            bf, sorted_d, st, window, _num_windows(window) * n_pad
-        )
+        out = _msm3_phased(bf, sorted_d, st, window, W * n_pad)
         return _xyzz_row_to_affine(curve, out)
     out, flag = jax.device_get(
         _msm3_program_m(
-            sf.spec.p, bf.spec.p, window, "fast", marr, xT, yT, ynegT, finf
+            sf.spec.p, bf.spec.p, window, W, "fast",
+            marr, xT, yT, ynegT, finf,
         )
     )
     if int(flag):
         out, _ = jax.device_get(
             _msm3_program_m(
-                sf.spec.p, bf.spec.p, window, "complete",
+                sf.spec.p, bf.spec.p, window, W, "complete",
                 marr, xT, yT, ynegT, finf,
             )
         )
     return _xyzz_row_to_affine(curve, out)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm3_program(field_p: int, c: int, ulimbs, xT, yT, ynegT, finf):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm3_program(field_p: int, c: int, W: int, ulimbs, xT, yT, ynegT, finf):
     jf = JField._instances[field_p]
     n = ulimbs.shape[0]
-    d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
+    d = offset_digits_device(ulimbs, c, W).reshape(W * n)
     s, flag = _msm3_core(jf, d, xT, yT, ynegT, finf, c, "fast")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _msm3_program_complete(field_p: int, c: int, ulimbs, xT, yT, ynegT, finf):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _msm3_program_complete(field_p: int, c: int, W: int,
+                           ulimbs, xT, yT, ynegT, finf):
     jf = JField._instances[field_p]
     n = ulimbs.shape[0]
-    d = offset_digits_device(ulimbs, c).reshape(_num_windows(c) * n)
+    d = offset_digits_device(ulimbs, c, W).reshape(W * n)
     s, _ = _msm3_core(jf, d, xT, yT, ynegT, finf, c, "complete")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
 
@@ -966,10 +1009,23 @@ def _fixed3_host(db: DeviceBases2, c: int, n_pad: int):
     return fx, fy, finf
 
 
-def _fixed3(db: DeviceBases2, c: int, n_pad: int):
-    """(xT, yT, ynegT, finf): (NL, n_s) transposed limb rows of the
+def _fixed3(db: DeviceBases2, c: int, n_pad: int, W: int = None):
+    """(xT, yT, ynegT, finf): (NL, W*n_pad) transposed limb rows of the
     window-shifted bases (each limb is a variadic-sort operand); cached
-    on the DeviceBases2 (once per key/size)."""
+    on the DeviceBases2 (once per key/size). A reduced W (small-scalar
+    MSM) is served as a view of the full precompute's first W window
+    blocks — windows are laid out contiguously, block w at columns
+    [w*n_pad, (w+1)*n_pad)."""
+    W_full = _num_windows(c)
+    if W is not None and W < W_full:
+        xT, yT, ynegT, finf = _fixed3(db, c, n_pad)
+        k = W * n_pad
+        skey = ("v3s", c, n_pad, W)
+        if skey not in db._fixed:
+            db._fixed[skey] = (
+                xT[:, :k], yT[:, :k], ynegT[:, :k], finf[:k]
+            )
+        return db._fixed[skey]
     key = ("v3", c, n_pad)
     if key not in db._fixed:
         try:
@@ -1000,9 +1056,13 @@ def msm_device3(
     bases=None,
     device_bases: Optional[DeviceBases2] = None,
     window: int = 16,
+    max_bits: int = None,
 ):
     """Fixed-base MSM through the column-serial engine. Bases are
-    marshalled/precomputed once per (key, size) via DeviceBases2."""
+    marshalled/precomputed once per (key, size) via DeviceBases2.
+    `max_bits` bounds the scalar bit width (msm_small contract,
+    src/provider/msm.rs:469-530): fewer windows are decomposed, so
+    small-scalar commits skip most of the pair space."""
     n = len(scalars)
     if n == 0:
         raise ValueError("empty msm")
@@ -1010,27 +1070,33 @@ def msm_device3(
         device_bases = DeviceBases2(bases[0].curve, bases)
     curve = device_bases.curve
     jf = JField(curve.base)
+    if not _use_pallas():
+        window = min(window, 9)
+    W = _num_windows(window, max_bits)
 
     n_pad = max(512, _next_pow2(n))
-    ulimbs = _scalar_ulimbs(scalars, n_pad, window)
-    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad)
+    ulimbs = _scalar_ulimbs(scalars, n_pad, window, W)
+    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad, W)
     if _use_pallas():
-        sorted_d, st = _p3_sortpack(
-            jf.spec.p, window, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+        from nova_tpu.ops.aot import aot_call
+
+        sorted_d, st = aot_call(
+            _p3_sortpack,
+            (jf.spec.p, window, W, jnp.asarray(ulimbs), xT, yT, ynegT, finf),
+            static_key=(jf.spec.p, window, W),
+            label="p3_sortpack",
         )
-        out = _msm3_phased(
-            jf, sorted_d, st, window, _num_windows(window) * n_pad
-        )
+        out = _msm3_phased(jf, sorted_d, st, window, W * n_pad)
         return _xyzz_row_to_affine(curve, out)
     out, flag = jax.device_get(
         _msm3_program(
-            jf.spec.p, window, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+            jf.spec.p, window, W, jnp.asarray(ulimbs), xT, yT, ynegT, finf
         )
     )
     if int(flag):
         out = jax.device_get(
             _msm3_program_complete(
-                jf.spec.p, window, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+                jf.spec.p, window, W, jnp.asarray(ulimbs), xT, yT, ynegT, finf
             )
         )
     return _xyzz_row_to_affine(curve, out)

@@ -50,20 +50,22 @@ from nova_tpu.ops.msm import _limbs16_to_int
 
 
 class _no_persistent_cache:
-    """Disable the persistent compilation cache around the big shard_map
-    programs: XLA:CPU's executable (de)serialization segfaults on them
-    (observed repeatedly in put/get_executable during the test suite), and
-    they are the only programs large enough to trigger it.
+    """Round-4 guard, now DEFAULT-OFF: the persistent compilation cache
+    used to be disabled around the big shard_map programs because
+    XLA:CPU's executable (de)serialization segfaulted on them (round-1/2
+    jax). Round 5 re-tested on jax 0.9 (tests/test_parallel.py twice,
+    NOVA_TEST_SLOW=1, cache ON: 6+6 passed, no segfault; second run
+    953 s -> 324 s from the cache hits), so shard_map programs now cache
+    like everything else — this is what makes the driver's
+    dryrun_multichip compile one-time instead of per-run.
 
-    NOVA_TPU_SHARDMAP_CACHE=1 neutralizes the guard — the re-test lever
-    for perf/repro_xla_cpu_cache.py's finding that the crash needs a
-    long-lived heap-churned process (run the full suite with it set; if
-    the segfault is gone on the current jax, delete this class)."""
+    NOVA_TPU_SHARDMAP_CACHE=0 restores the old bypass if the crash ever
+    reappears (perf/repro_xla_cpu_cache.py is the repro harness)."""
 
     def __enter__(self):
         import os
 
-        if os.environ.get("NOVA_TPU_SHARDMAP_CACHE") == "1":
+        if os.environ.get("NOVA_TPU_SHARDMAP_CACHE") != "0":
             self._cm = None
             return self
         from jax._src import config as _jc

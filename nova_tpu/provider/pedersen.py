@@ -354,6 +354,32 @@ class CommitmentEngine:
 
     @staticmethod
     def commit_small(ck: CommitmentKey, v: Sequence[int], r: int = 0) -> Commitment:
+        """Small-scalar commit (commitment.rs:123-136 / msm_small
+        routing, msm.rs:469-530): the device path decomposes only enough
+        windows to cover the actual max bit width (1/10/16-bit Spark
+        oracle data pays 1-2 windows instead of 17); the host-native
+        engine already does max-bit window sizing internally."""
+        from nova_tpu.constants import DEVICE_THRESHOLD
+        from nova_tpu.ops.fvec import FVec
+        from nova_tpu.parallel import current_mesh
+
+        if (
+            current_mesh() is None
+            and not isinstance(v, FVec)
+            and len(v) >= DEVICE_THRESHOLD
+            and _device_ok()
+        ):
+            from nova_tpu.ops.msm3 import msm_device3
+
+            vl = list(v)
+            mb = max((int(x).bit_length() for x in vl), default=1)
+            acc = msm_device3(
+                vl, device_bases=ck.device_bases2(len(vl)),
+                max_bits=max(mb, 1),
+            )
+            if r:
+                acc = acc.add(ck.h.mul(r))
+            return Commitment(acc)
         return CommitmentEngine.commit(ck, v, r)
 
     @staticmethod

@@ -19,7 +19,11 @@ def _bases(n):
     return out
 
 
-@pytest.mark.parametrize("n", [100, 512, 1500])
+@pytest.mark.parametrize(
+    "n",
+    [100, pytest.param(512, marks=pytest.mark.slow),
+     pytest.param(1500, marks=pytest.mark.slow)],
+)
 def test_msm3_matches_host(n):
     rng = np.random.default_rng(7)
     order = CURVE.scalar.p
@@ -31,6 +35,26 @@ def test_msm3_matches_host(n):
     ]
     db = DeviceBases2(CURVE, bases)
     got = msm3.msm_device3(scalars, device_bases=db, window=9)
+    want = host_msm(scalars, bases)
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "bits",
+    [1, pytest.param(10, marks=pytest.mark.slow), 16,
+     pytest.param(32, marks=pytest.mark.slow)],
+)
+def test_msm3_small_scalars_max_bits(bits):
+    """max_bits window pruning (reference msm_small routing,
+    msm.rs:469-530) must be bit-identical to the full decomposition."""
+    n = 300
+    bases = _bases(n)
+    rng = np.random.default_rng(40 + bits)
+    scalars = [int(rng.integers(0, 1 << bits)) for _ in range(n)]
+    db = DeviceBases2(CURVE, bases)
+    got = msm3.msm_device3(
+        scalars, device_bases=db, window=9, max_bits=bits
+    )
     want = host_msm(scalars, bases)
     assert got == want
 

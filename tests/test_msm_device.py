@@ -35,6 +35,7 @@ def test_msm_device_small_scalars():
     assert got == host_msm(scalars, bases)
 
 
+@pytest.mark.slow
 def test_msm_device_wide_window():
     """window > 10 exercises the sequential (lax.map) bucket-table branch;
     11 keeps the 2^c tables small enough for the CPU test backend (c=16 is

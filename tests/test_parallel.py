@@ -174,6 +174,7 @@ def test_sharded_outer_sumcheck_proof_bits():
     ]
 
 
+@pytest.mark.slow
 def test_prove_step_under_mesh():
     """One REAL RecursiveSNARK.prove_step with the mesh active (every
     witness/cross-term commit mesh-routed) then verify (dryrun check (d)).
@@ -211,6 +212,7 @@ def test_prove_step_under_mesh():
     assert "MESH_PROVE_STEP_OK" in res.stdout
 
 
+@pytest.mark.slow
 def test_sharded_fold_step_runs():
     """Runs in a fresh subprocess: XLA:CPU segfaults compiling this
     shard_map program when the host process is already large (reproduced
