@@ -25,10 +25,12 @@ Budget discipline (round-4 redesign after BENCH_r03's rc=124/no-output):
     can no longer turn a working result into an empty artifact.
   - A fast host-native MSM runs FIRST so a real number exists within the
     first ~minute; device engines then upgrade it.
-  - Engine order is completion-probability order measured on the live
-    chip in round 3: msm2 (236k pts/s, 513 s cold) before msm1
-    (76.5k pts/s, 137 s). msm3 is excluded by default until its Pallas
-    program compiles through the tunnel (NOVA_BENCH_ENGINES overrides).
+  - Engine order (round 5): msm3m first — the production commit path
+    (device-resident Montgomery scalars through the column-serial
+    engine; 811k pts/s @2^16 measured) — then msm2 (259k), then msm1.
+    NOVA_BENCH_ENGINES overrides. All msm3 phases are split programs
+    cached by the AOT executable cache, so warm processes skip the
+    multi-minute retrace+compile.
 Set NOVA_BENCH_FAST=1 to emit only the MSM metric (used while iterating).
 """
 
@@ -117,7 +119,22 @@ def bench_msm(engine: str = "msm2") -> float:
     bases = CommitmentEngine.setup(pallas, b"bench-msm", n - 1).ck[:n]
     scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
 
-    if engine == "msm3":
+    if engine == "msm3m":
+        # the production commit path: scalars arrive as a device-resident
+        # Montgomery limb array (an FVec's .m, what pedersen.commit feeds
+        # msm_device3_mont) — no per-call host conversion or H2D
+        import jax
+
+        from nova_tpu.fields.jfield import JField
+        from nova_tpu.ops.fvec import FVec
+        from nova_tpu.ops.msm2 import DeviceBases2
+        from nova_tpu.ops.msm3 import msm_device3_mont
+
+        db = DeviceBases2(pallas, bases)
+        marr = FVec.from_ints(JField(pallas.scalar), scalars).m
+        jax.block_until_ready(marr)
+        run = lambda: msm_device3_mont(marr, db)
+    elif engine == "msm3":
         from nova_tpu.ops.msm2 import DeviceBases2
         from nova_tpu.ops.msm3 import msm_device3
 
@@ -264,7 +281,9 @@ def _main_guarded() -> None:
     # Stage 2 — device probe + engines, in completion-probability order.
     device_ok = _device_available(min(180.0, max(_remaining() - 120, 10)))
     if device_ok:
-        order = os.environ.get("NOVA_BENCH_ENGINES", "msm2,msm1").split(",")
+        order = os.environ.get(
+            "NOVA_BENCH_ENGINES", "msm3m,msm2,msm1"
+        ).split(",")
         tried = 0
         for eng in (e.strip() for e in order if e.strip()):
             tried += 1
@@ -273,11 +292,6 @@ def _main_guarded() -> None:
                 _remaining() - 30,
             )
             env_extra = {}
-            if eng == "msm3" and "NOVA_MSM_NO_PALLAS" not in os.environ:
-                # the fused pallas msm3 program (~50 MB HLO at 2^16/c=16)
-                # has crashed the tunnel's compile worker; bench the XLA
-                # path until the pallas program shrinks (PERFORMANCE.md)
-                env_extra["NOVA_MSM_NO_PALLAS"] = "1"
             got = _run_stage(
                 "import bench; print('PTS', bench.bench_msm(%r), flush=True)\n" % eng,
                 slice_s,

@@ -657,7 +657,9 @@ def _stage_xla(jf: JField, rounds: int, masks, pts: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-_GROUP = 256  # bucket-reduce group width (keeps dynamic shifts < 128)
+_GROUP = 1024  # bucket-reduce group width; round-5 sweep at nb=2^15:
+# 256 -> 42 ms, 1024 -> 31 ms warm (per-block overhead dominates at
+# small groups; _row_shift_dyn_any handles the wider dynamic shifts)
 
 
 @functools.lru_cache(maxsize=None)

@@ -83,6 +83,30 @@ def _num_windows(c: int, max_bits: int = None) -> int:
     return max(1, -(-(max_bits + 2) // c))
 
 
+def _windows_for(c: int, scalar_p: int, max_bits: int = None) -> int:
+    """Effective window count: the caller's max_bits when given, else
+    the symmetric-range bound |s'| <= (p-1)/2 (the scalar negates the
+    point via digit signs, offset_digits_device)."""
+    if max_bits is not None:
+        return _num_windows(c, max_bits)
+    return _num_windows(c, scalar_p.bit_length() - 1)
+
+
+def _sym_reduce_host(scalars, p: int):
+    """Host symmetric-range reduction: (|s'| list, negs bool array)."""
+    half = p >> 1
+    out = []
+    negs = np.zeros(len(scalars), dtype=bool)
+    for i, sc in enumerate(scalars):
+        sc = int(sc) % p
+        if sc > half:
+            out.append(p - sc)
+            negs[i] = True
+        else:
+            out.append(sc)
+    return out, negs
+
+
 def _offset_int(c: int, W: int = None) -> int:
     """sum_w 2^(c-1) * 2^(c*w): adding this to a scalar makes its
     unsigned base-2^c digits u_w satisfy d_w = u_w - 2^(c-1) in
@@ -115,9 +139,13 @@ def _scalar_ulimbs(scalars, n_pad: int, c: int, W: int = None) -> np.ndarray:
     return limbs
 
 
-def offset_digits_device(ulimbs, c: int, W: int = None):
+def offset_digits_device(ulimbs, c: int, W: int = None, negs=None):
     """(N, L) 16-bit limbs of s+offset -> (W, N) int32 signed digits
-    (pure bit slicing; no scan)."""
+    (pure bit slicing; no scan). `negs` (N,) bool flips the sign of
+    every digit of the flagged scalars: the symmetric-range reduction
+    (s' = p - s when s > (p-1)/2, point negated via the digit sign)
+    drops the top window so 255-bit scalars fit c*W = 256 exactly —
+    W = 16 at c = 16 makes n_s a power of two at power-of-two n."""
     n, L = ulimbs.shape
     if W is None:
         W = _num_windows(c)
@@ -138,7 +166,10 @@ def offset_digits_device(ulimbs, c: int, W: int = None):
                 have += 16
                 j += 1
         outs.append((d & mask).astype(jnp.int32) - half)
-    return jnp.stack(outs)
+    ds = jnp.stack(outs)
+    if negs is not None:
+        ds = jnp.where(negs[None, :], -ds, ds)
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -375,14 +406,17 @@ def _accum_xla(jf: JField, d_cm, px_cm, py_cm, mode: str,
 
 def _grid_shape(n_s: int):
     """(R, C) with R*C >= n_s, C a C_BLK multiple (or 128 for tiny
-    inputs), R a SLAB multiple. Aims R in the hundreds so column-end
-    carries stay ~C-sized and kernel steps stay wide."""
+    inputs), R a SLAB-multiple POWER OF TWO. R*C being a power of two
+    is load-bearing: the sort programs run at length R*C, and XLA:TPU
+    sort compiles of non-power-of-two lengths take tens of minutes
+    through the tunnel (round-5 finding; perf/probe_sort_matrix.py).
+    Aims R in the hundreds so column-end carries stay ~C-sized and
+    kernel steps stay wide."""
     if n_s <= (1 << 14):
         C = max(128, _next_pow2(n_s // 64 or 1))
     else:
         C = min(1 << 15, max(C_BLK, _next_pow2(n_s // 1024)))
-    R = -(-n_s // C)
-    R = -(-R // SLAB) * SLAB
+    R = max(SLAB, _next_pow2(-(-n_s // C)))
     return R, C
 
 
@@ -642,43 +676,83 @@ def _bucket_totals(jf: JField, sorted_d, flush, colend, d_cm,
 # --------------------------------------------------------------------------
 
 
-def _sortpack_tail(jf: JField, d, xT, yT, ynegT, finf):
-    """Trace-level: digits+points -> (sorted_d (R*C,), st (2*NL, R*C)).
-
-    Round-5 rewrite, third design. History: (1) one 33-operand variadic
-    sort (key + 32 point-limb payloads) hangs the tunnel's compile
-    worker at bench sizes (standalone _p3_sortpack at 2^14/c=16 sat
-    >18 min in compile); (2) 2-operand sort + row gather of the
-    (n_s, 2*NL) points compiles in seconds but the gather executes at
-    ~3.5 GB/s (~50 ms at 2^16/c=13 — measured this round; the round-2
-    "<0.05 ms gather" probe timed only the async dispatch). This form:
-    FOUR 9-operand STABLE sorts, each moving 8 payload limbs — the
-    shape the round-2 probes measured at payload streaming bandwidth
-    (0.7 ms at 2^20). Stability makes all four produce the identical
-    permutation for equal keys, so the groups concatenate exactly."""
-    n_s = d.shape[0]
+def _prep_tail(d, yT, ynegT, finf):
+    """digits -> (absd (n_s,) i32, ysel (NL, n_s) u32): |digit| with
+    infinity forced inert, and the y/-y limb selection for negative
+    digits. Elementwise only — kept OUT of the sort programs (fusing
+    the digit-extraction graph into sort operands is what hung the
+    tunnel's compile worker; see _sortpack_tail)."""
     absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.int32)
     dneg = d < 0
-    R, C = _grid_shape(n_s)
-    pad = R * C - n_s
-    cols = [xT[l] for l in range(NUM_LIMBS)] + [
-        jnp.where(dneg, ynegT[l], yT[l]) for l in range(NUM_LIMBS)
-    ]
-    G = 8  # payload operands per sort
-    sorted_cols = []
-    sorted_d = None
-    for g in range(0, 2 * NUM_LIMBS, G):
-        outs = jax.lax.sort(
-            tuple([absd] + cols[g : g + G]), num_keys=1, is_stable=True
+    ysel = jnp.stack(
+        [jnp.where(dneg, ynegT[l], yT[l]) for l in range(NUM_LIMBS)]
+    )
+    return absd, ysel
+
+
+def _perm_tail(absd):
+    """One (|digit|, idx) sort fixes the permutation; one (sidx, idx)
+    sort inverts it into per-element destination ranks (both 2-operand,
+    cheap comparators)."""
+    n_s = absd.shape[0]
+    iota = jax.lax.iota(jnp.int32, n_s)
+    sorted_d, sidx = jax.lax.sort(
+        (absd, iota), num_keys=1, is_stable=False
+    )
+    _, rank = jax.lax.sort((sidx, iota), num_keys=1, is_stable=False)
+    return sorted_d, rank
+
+
+def _move_tail(rank, xT, ysel, pad):
+    """Move the 32 point-limb columns into sorted order with 2-operand
+    sorts keyed on the unique destination rank (sort-as-data-mover:
+    ~13 GB/s effective on the v5e vs ~2.2 GB/s for an XLA row gather —
+    perf/probe_gather.py). Unique keys make the unstable order
+    deterministic and identical across the 32 sorts."""
+    outs = []
+    for l in range(NUM_LIMBS):
+        outs.append(
+            jax.lax.sort((rank, xT[l]), num_keys=1, is_stable=False)[1]
         )
-        sorted_d = outs[0]
-        sorted_cols.extend(outs[1:])
-    st = jnp.stack(sorted_cols)  # (2*NL, n_s)
+    for l in range(NUM_LIMBS):
+        outs.append(
+            jax.lax.sort((rank, ysel[l]), num_keys=1, is_stable=False)[1]
+        )
+    st = jnp.stack(outs)  # (2*NL, n_s)
     if pad:
-        sorted_d = jnp.concatenate([jnp.zeros((pad,), jnp.int32), sorted_d])
         st = jnp.concatenate(
             [jnp.zeros((2 * NUM_LIMBS, pad), jnp.uint32), st], axis=1
         )
+    return st
+
+
+def _sortpack_tail(jf: JField, d, xT, yT, ynegT, finf):
+    """Trace-level: digits+points -> (sorted_d (R*C,), st (2*NL, R*C)).
+
+    Round-5 rewrite (fifth design — what finally both compiles AND
+    streams; perf/probe_sort_matrix.py + perf/probe_gather.py hold the
+    measurements). History on the axon tunnel at bench sizes: (1) one
+    33-operand variadic sort (key + 32 point-limb payloads) hangs the
+    compile worker (>18 min at 2^14/c=16); (2) 2-operand sort + row
+    gather compiles in 30 s but the gather executes at ~2.2 GB/s
+    (~50 ms at 2^16/c=13; the round-2 "<0.05 ms gather" probe had timed
+    only the async dispatch); (3) 9-operand sorts, stable or not, hang
+    when FUSED with the digit-extraction graph — yet every standalone
+    sort up to 8 payloads compiles in ~1 min, and a program of 32
+    independent 2-operand sorts compiles AND runs at 13 GB/s effective.
+    Conclusion: keep producers out of sort programs and use the sort
+    itself as the data mover with unique integer keys. The phased
+    device path dispatches _prep/_perm/_move as separate programs; this
+    fused form keeps identical semantics for the XLA fallback and
+    shard_map paths."""
+    n_s = d.shape[0]
+    R, C = _grid_shape(n_s)
+    pad = R * C - n_s
+    absd, ysel = _prep_tail(d, yT, ynegT, finf)
+    sorted_d, rank = _perm_tail(absd)
+    st = _move_tail(rank, xT, ysel, pad)
+    if pad:
+        sorted_d = jnp.concatenate([jnp.zeros((pad,), jnp.int32), sorted_d])
     return sorted_d, st
 
 
@@ -876,6 +950,185 @@ def add_offset_device(s16, c: int, W: int = None):
     return (s + cin.astype(jnp.uint32)) & jnp.uint32(0xFFFF)
 
 
+# --- split-program pipeline ------------------------------------------------
+# One sort-free producer program, then 2 + 16 dispatches of a SINGLE
+# reusable (key, payload) sort executable, then one assemble program.
+# Two round-5 findings drive this shape (perf/probe_sort_matrix.py,
+# perf/probe_gather.py, /tmp micro-probes):
+#   1. XLA:TPU compiles of multi-sort or producer-fused-sort programs
+#      take 5-40+ minutes through the tunnel; a single 2-operand sort
+#      compiles in ~10 s and is reused for every permutation apply.
+#   2. Row gathers run at ~2.2 GB/s but sort payload movement streams
+#      at ~8-16 GB/s — the sort IS the data mover (unique integer keys
+#      make the unstable order deterministic).
+# Payload limbs are 16-bit values; pairs pack into one u32 so the chain
+# moves 16 payload columns instead of 32.
+
+
+@jax.jit
+def _sort_pair(k, v):
+    """THE data-movement primitive: one (u32 key, u32 payload) sort."""
+    return jax.lax.sort((k, v), num_keys=1, is_stable=False)
+
+
+_IOTA_CACHE: dict = {}
+
+
+def _iota_u32(n: int):
+    if n not in _IOTA_CACHE:
+        _IOTA_CACHE[n] = jnp.arange(n, dtype=jnp.uint32)
+    return _IOTA_CACHE[n]
+
+
+@jax.jit
+def _pack_cols(xT, yT, ynegT):
+    """(NL, n_s) 16-bit-limb rows -> (NL//2, n_s) u32-packed rows."""
+
+    def pk(a):
+        return a[0::2] | (a[1::2] << 16)
+
+    return pk(xT), pk(yT), pk(ynegT)
+
+
+def _fixed3_packed(db: DeviceBases2, c: int, n_pad: int, W: int = None):
+    """u16-packed window-shifted base rows, cached per (key, size)."""
+    key = ("v3p", c, n_pad, W)
+    if key not in db._fixed:
+        xT, yT, ynegT, finf = _fixed3(db, c, n_pad, W)
+        xP, yP, ynegP = _pack_cols(xT, yT, ynegT)
+        db._fixed[key] = (
+            jnp.asarray(xP), jnp.asarray(yP), jnp.asarray(ynegP), finf
+        )
+    return db._fixed[key]
+
+
+def _prep_packed_tail(d, pad, xP, yP, ynegP, finf):
+    """digits -> (absd u32 (P,), 17-tuple of padded packed columns)."""
+    absd = jnp.where(finf, 0, jnp.abs(d)).astype(jnp.uint32)
+    dneg = d < 0
+    HL = NUM_LIMBS // 2
+    cols = [xP[k] for k in range(HL)] + [
+        jnp.where(dneg, ynegP[k], yP[k]) for k in range(HL)
+    ]
+    if pad:
+        zi = jnp.zeros((pad,), jnp.uint32)
+        absd = jnp.concatenate([zi, absd])
+        cols = [jnp.concatenate([zi, ccc]) for ccc in cols]
+    return tuple([absd] + cols)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _p3_prepk(c: int, W: int, pad: int, ulimbs, negs, xP, yP, ynegP, finf):
+    n = ulimbs.shape[0]
+    d = offset_digits_device(ulimbs, c, W, negs).reshape(W * n)
+    return _prep_packed_tail(d, pad, xP, yP, ynegP, finf)
+
+
+def _sym_reduce_device(sf, s16):
+    """Device symmetric-range reduction on (n, 16) 16-bit-limb standard
+    scalars: returns (|s'| limbs, negs) with s' = p - s when
+    s > (p-1)/2."""
+    p = sf.spec.p
+    L = s16.shape[1]
+    half = (p - 1) >> 1
+    hl = [(half >> (16 * l)) & 0xFFFF for l in range(L)]
+    pl = [(p >> (16 * l)) & 0xFFFF for l in range(L)]
+    gt = jnp.zeros(s16.shape[0], dtype=bool)
+    eq = jnp.ones(s16.shape[0], dtype=bool)
+    for l in range(L - 1, -1, -1):
+        sl = s16[:, l]
+        gt = gt | (eq & (sl > np.uint32(hl[l])))
+        eq = eq & (sl == np.uint32(hl[l]))
+    # p - s via 16-bit-limb add of p + (~s & 0xffff) + 1, Kogge-Stone
+    inv = (~s16) & jnp.uint32(0xFFFF)
+    prow = jnp.asarray(np.array(pl, np.uint32))[None, :]
+    t = prow + inv
+    t = t.at[:, 0].add(1) if hasattr(t, "at") else t
+    G = (t >> 16) != 0
+    P_ = (t & jnp.uint32(0xFFFF)) == jnp.uint32(0xFFFF)
+    dd = 1
+    while dd < L:
+        Gs = jnp.pad(G, ((0, 0), (dd, 0)))[:, :L]
+        Ps = jnp.pad(P_, ((0, 0), (dd, 0)))[:, :L]
+        G = G | (P_ & Gs)
+        P_ = P_ & Ps
+        dd <<= 1
+    cin = jnp.pad(G, ((0, 0), (1, 0)))[:, :L]
+    psub = (t + cin.astype(jnp.uint32)) & jnp.uint32(0xFFFF)
+    sabs = jnp.where(gt[:, None], psub, s16)
+    return sabs, gt
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _p3_prepk_m(scalar_p: int, c: int, W: int, pad: int, marr,
+                xP, yP, ynegP, finf):
+    sf = JField._instances[scalar_p]
+    n = marr.shape[0]
+    s16 = sf.from_mont(marr)
+    sabs, negs = _sym_reduce_device(sf, s16)
+    u = add_offset_device(sabs, c, W)
+    d = offset_digits_device(u, c, W, negs).reshape(W * n)
+    return _prep_packed_tail(d, pad, xP, yP, ynegP, finf)
+
+
+@jax.jit
+def _p3_assemble(sd, *moved):
+    """(sorted absd u32, 16 sorted packed cols) -> (sorted_d i32,
+    st (2*NL, P) unpacked u32) in the layout the accum kernel packs."""
+    mask = jnp.uint32(0xFFFF)
+    rows = []
+    for l in range(NUM_LIMBS):
+        rows.append((moved[l // 2] >> (16 * (l & 1))) & mask)
+    for l in range(NUM_LIMBS):
+        rows.append((moved[8 + l // 2] >> (16 * (l & 1))) & mask)
+    return sd.astype(jnp.int32), jnp.stack(rows)
+
+
+def _sortpack_split(c: int, W: int, n_pad: int, scal, negs,
+                    xP, yP, ynegP, finf, mont_p: int = None):
+    """Device sortpack: prep program + (2 + 16) _sort_pair dispatches +
+    assemble program, all AOT-cached. scal: (n_pad, L) host ulimbs of
+    |s'|+offset (mont_p None; negs = (n_pad,) bool) or (n_pad, 16)
+    Montgomery device array (mont_p set; negs ignored)."""
+    from nova_tpu.ops.aot import aot_call
+
+    n_s = W * n_pad
+    R, C = _grid_shape(n_s)
+    P = R * C
+    pad = P - n_s
+    if mont_p is None:
+        outs = aot_call(
+            _p3_prepk,
+            (c, W, pad, jnp.asarray(scal), jnp.asarray(negs),
+             xP, yP, ynegP, finf),
+            static_key=(c, W, pad),
+            label="p3_prepk",
+        )
+    else:
+        outs = aot_call(
+            _p3_prepk_m,
+            (mont_p, c, W, pad, scal, xP, yP, ynegP, finf),
+            static_key=(mont_p, c, W, pad),
+            label="p3_prepk_m",
+        )
+    absd, cols = outs[0], outs[1:]
+    iota = _iota_u32(P)
+
+    def sp(k, v):
+        return aot_call(
+            _sort_pair, (k, v), static_key=(P,), label="sort_pair"
+        )
+
+    sd, sidx = sp(absd, iota)
+    _, rank = sp(sidx, iota)
+    moved = [sp(rank, ccc)[1] for ccc in cols]
+    sorted_d, st = aot_call(
+        _p3_assemble, tuple([sd] + moved), static_key=(P,),
+        label="p3_assemble",
+    )
+    return sorted_d, st
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _msm3_program_m(scalar_p: int, base_p: int, c: int, W: int, mode: str,
                     marr, xT, yT, ynegT, finf):
@@ -887,8 +1140,9 @@ def _msm3_program_m(scalar_p: int, base_p: int, c: int, W: int, mode: str,
     jf = JField._instances[base_p]
     n = marr.shape[0]
     s16 = sf.from_mont(marr)
-    u = add_offset_device(s16, c, W)
-    d = offset_digits_device(u, c, W).reshape(W * n)
+    sabs, negs = _sym_reduce_device(sf, s16)
+    u = add_offset_device(sabs, c, W)
+    d = offset_digits_device(u, c, W, negs).reshape(W * n)
     s, flag = _msm3_core(jf, d, xT, yT, ynegT, finf, c, mode)
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
 
@@ -909,7 +1163,7 @@ def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16,
         # CPU fallback: wide windows explode the 2^(c-1)-bucket lookup
         # tables the XLA path compiles; tests only need correctness
         window = min(window, 9)
-    W = _num_windows(window, max_bits)
+    W = _windows_for(window, curve.scalar.p, max_bits)
     n_pad = max(512, _next_pow2(n))
     if n_pad != n:
         marr = jnp.concatenate(
@@ -917,18 +1171,17 @@ def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16,
         )
     sf = JField(curve.scalar)
     bf = JField(curve.base)
-    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad, W)
     if _use_pallas():
-        from nova_tpu.ops.aot import aot_call
-
-        sorted_d, st = aot_call(
-            _p3_sortpack_m,
-            (sf.spec.p, bf.spec.p, window, W, marr, xT, yT, ynegT, finf),
-            static_key=(sf.spec.p, bf.spec.p, window, W),
-            label="p3_sortpack_m",
+        xP, yP, ynegP, finf = _fixed3_packed(
+            device_bases, window, n_pad, W
+        )
+        sorted_d, st = _sortpack_split(
+            window, W, n_pad, marr, None, xP, yP, ynegP, finf,
+            mont_p=sf.spec.p,
         )
         out = _msm3_phased(bf, sorted_d, st, window, W * n_pad)
         return _xyzz_row_to_affine(curve, out)
+    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad, W)
     out, flag = jax.device_get(
         _msm3_program_m(
             sf.spec.p, bf.spec.p, window, W, "fast",
@@ -946,20 +1199,21 @@ def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _msm3_program(field_p: int, c: int, W: int, ulimbs, xT, yT, ynegT, finf):
+def _msm3_program(field_p: int, c: int, W: int, ulimbs, negs,
+                  xT, yT, ynegT, finf):
     jf = JField._instances[field_p]
     n = ulimbs.shape[0]
-    d = offset_digits_device(ulimbs, c, W).reshape(W * n)
+    d = offset_digits_device(ulimbs, c, W, negs).reshape(W * n)
     s, flag = _msm3_core(jf, d, xT, yT, ynegT, finf, c, "fast")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _msm3_program_complete(field_p: int, c: int, W: int,
-                           ulimbs, xT, yT, ynegT, finf):
+                           ulimbs, negs, xT, yT, ynegT, finf):
     jf = JField._instances[field_p]
     n = ulimbs.shape[0]
-    d = offset_digits_device(ulimbs, c, W).reshape(W * n)
+    d = offset_digits_device(ulimbs, c, W, negs).reshape(W * n)
     s, _ = _msm3_core(jf, d, xT, yT, ynegT, finf, c, "complete")
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}
 
@@ -1072,31 +1326,36 @@ def msm_device3(
     jf = JField(curve.base)
     if not _use_pallas():
         window = min(window, 9)
-    W = _num_windows(window, max_bits)
+    W = _windows_for(window, curve.scalar.p, max_bits)
 
     n_pad = max(512, _next_pow2(n))
-    ulimbs = _scalar_ulimbs(scalars, n_pad, window, W)
-    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad, W)
+    if max_bits is None:
+        # symmetric-range: |s'| <= (p-1)/2, point negated via digit sign
+        sabs, negs_n = _sym_reduce_host(scalars, curve.scalar.p)
+    else:
+        sabs, negs_n = list(scalars), np.zeros(len(scalars), dtype=bool)
+    negs = np.zeros(n_pad, dtype=bool)
+    negs[: len(scalars)] = negs_n
+    ulimbs = _scalar_ulimbs(sabs, n_pad, window, W)
     if _use_pallas():
-        from nova_tpu.ops.aot import aot_call
-
-        sorted_d, st = aot_call(
-            _p3_sortpack,
-            (jf.spec.p, window, W, jnp.asarray(ulimbs), xT, yT, ynegT, finf),
-            static_key=(jf.spec.p, window, W),
-            label="p3_sortpack",
+        xP, yP, ynegP, finf = _fixed3_packed(device_bases, window, n_pad, W)
+        sorted_d, st = _sortpack_split(
+            window, W, n_pad, ulimbs, negs, xP, yP, ynegP, finf
         )
         out = _msm3_phased(jf, sorted_d, st, window, W * n_pad)
         return _xyzz_row_to_affine(curve, out)
+    xT, yT, ynegT, finf = _fixed3(device_bases, window, n_pad, W)
+    dn = jnp.asarray(negs)
     out, flag = jax.device_get(
         _msm3_program(
-            jf.spec.p, window, W, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+            jf.spec.p, window, W, jnp.asarray(ulimbs), dn, xT, yT, ynegT, finf
         )
     )
     if int(flag):
         out = jax.device_get(
             _msm3_program_complete(
-                jf.spec.p, window, W, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+                jf.spec.p, window, W, jnp.asarray(ulimbs), dn,
+                xT, yT, ynegT, finf,
             )
         )
     return _xyzz_row_to_affine(curve, out)

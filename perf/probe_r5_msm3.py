@@ -20,6 +20,7 @@ def main(lg: int, window: int) -> None:
 
     assert jax.default_backend() == "tpu"
     from nova_tpu.curves.spec import pallas
+    CURVE = pallas
     from nova_tpu.fields.jfield import JField
     from nova_tpu.provider.pedersen import CommitmentEngine
     from nova_tpu.ops import msm2, msm3
@@ -33,23 +34,26 @@ def main(lg: int, window: int) -> None:
     jf = JField(pallas.base)
     n_pad = max(512, msm2._next_pow2(n))
 
+    W = msm3._windows_for(window, CURVE.scalar.p, None)
     t0 = time.perf_counter()
-    print(f"PHASE fixed3 c={window} start", flush=True)
-    xT, yT, ynegT, finf = msm3._fixed3(db, window, n_pad)
-    jax.block_until_ready(xT)
+    print(f"PHASE fixed3 c={window} W={W} start", flush=True)
+    xP, yP, ynegP, finf = msm3._fixed3_packed(db, window, n_pad, W)
+    jax.block_until_ready(xP)
     print(f"PHASE fixed3 done {time.perf_counter()-t0:.1f}s", flush=True)
 
-    W = msm3._num_windows(window)
-    ulimbs = msm3._scalar_ulimbs(scalars, n_pad, window)
+    sabs, negs_n = msm3._sym_reduce_host(scalars, CURVE.scalar.p)
+    negs = np.zeros(n_pad, dtype=bool)
+    negs[: len(scalars)] = negs_n
+    ulimbs = msm3._scalar_ulimbs(sabs, n_pad, window, W)
     t0 = time.perf_counter()
     print("PHASE sortpack start", flush=True)
-    sorted_d, st = msm3._p3_sortpack(
-        jf.spec.p, window, W, jnp.asarray(ulimbs), xT, yT, ynegT, finf
+    sorted_d, st = msm3._sortpack_split(
+        window, W, n_pad, ulimbs, negs, xP, yP, ynegP, finf
     )
     sd, sth = jax.device_get((sorted_d[:8], st[:, :8]))
     print(f"PHASE sortpack done {time.perf_counter()-t0:.1f}s", flush=True)
 
-    n_s = msm3._num_windows(window) * n_pad
+    n_s = W * n_pad
     R, C = msm3._grid_shape(n_s)
     fkey = msm3._field_key(jf)
     t0 = time.perf_counter()
@@ -67,13 +71,12 @@ def main(lg: int, window: int) -> None:
     print(f"PHASE finish done {time.perf_counter()-t0:.1f}s", flush=True)
 
     # warm per-phase timing (device_get after each phase forces sync)
-    dul = jnp.asarray(ulimbs)
     for it in range(3):
         t0 = time.perf_counter()
-        sorted_d, st = msm3._p3_sortpack(
-            jf.spec.p, window, W, dul, xT, yT, ynegT, finf
+        sorted_d, st = msm3._sortpack_split(
+            window, W, n_pad, ulimbs, negs, xP, yP, ynegP, finf
         )
-        jax.device_get(sorted_d[:1])
+        jax.device_get(st[:1, :1])
         t1 = time.perf_counter()
         flush_, colend, flag = msm3._p3_accum(fkey, R, C, "fast")(sorted_d, st)
         jax.device_get(flag)
