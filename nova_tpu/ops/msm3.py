@@ -991,7 +991,13 @@ def _pack_cols(xT, yT, ynegT):
 
 
 def _fixed3_packed(db: DeviceBases2, c: int, n_pad: int, W: int = None):
-    """u16-packed window-shifted base rows, cached per (key, size)."""
+    """u16-packed window-shifted base rows, cached per (key, size).
+
+    The unpacked intermediates (db.fixed's (fx, fy) + _fixed3's
+    transposed rows) are PURGED once the packed form exists: at 2^18 a
+    window set is ~0.77 GB unpacked, and keeping both plus per-chunk
+    copies OOMed the 16 GB chip at 2^20 (the split path only ever reads
+    the packed form; a later msm2-path call just recomputes)."""
     key = ("v3p", c, n_pad, W)
     if key not in db._fixed:
         xT, yT, ynegT, finf = _fixed3(db, c, n_pad, W)
@@ -999,6 +1005,12 @@ def _fixed3_packed(db: DeviceBases2, c: int, n_pad: int, W: int = None):
         db._fixed[key] = (
             jnp.asarray(xP), jnp.asarray(yP), jnp.asarray(ynegP), finf
         )
+        for purge in (
+            (c, n_pad),
+            ("v3", c, n_pad),
+            ("v3s", c, n_pad, W),
+        ):
+            db._fixed.pop(purge, None)
     return db._fixed[key]
 
 
@@ -1147,6 +1159,32 @@ def _msm3_program_m(scalar_p: int, base_p: int, c: int, W: int, mode: str,
     return {k: jf.from_mont(v.T)[0] for k, v in s.items()}, flag
 
 
+_CHUNK_MAX = 1 << 18  # per-dispatch point cap: the (2*NL, W*n) sorted
+# table at 2^20 lands an 8 GB padded HLO temp (4x tile expansion on the
+# 32-minor layout) and OOMs the 16 GB chip; chunks of 2^18 keep every
+# temp under ~2 GB and cost only chunk-count extra point adds
+
+
+def _db_slice(db: DeviceBases2, a: int, b: int) -> DeviceBases2:
+    """Zero-copy sub-range view of a marshalled base set (own _fixed
+    precompute cache, shared device arrays)."""
+    cache = getattr(db, "_slices", None)
+    if cache is None:
+        cache = db._slices = {}
+    key = (a, b)
+    if key not in cache:
+        v = DeviceBases2.__new__(DeviceBases2)
+        v.curve = db.curve
+        v.jf = db.jf
+        v.x = db.x[a:b]
+        v.y = db.y[a:b]
+        v.inf = db.inf[a:b]
+        v.n = b - a
+        v._fixed = {}
+        cache[key] = v
+    return cache[key]
+
+
 def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16,
                      max_bits: int = None):
     """Fixed-base MSM over a (n, 16) uint32 Montgomery-form device array
@@ -1159,6 +1197,19 @@ def msm_device3_mont(marr, device_bases: DeviceBases2, window: int = 16,
     the bound is the caller's promise, exactly as in the reference."""
     n = int(marr.shape[0])
     curve = device_bases.curve
+    if n > _CHUNK_MAX:
+        from nova_tpu.curves.spec import AffinePoint
+
+        acc = AffinePoint.identity(curve)
+        for a in range(0, n, _CHUNK_MAX):
+            b = min(a + _CHUNK_MAX, n)
+            acc = acc.add(
+                msm_device3_mont(
+                    marr[a:b], _db_slice(device_bases, a, b),
+                    window=window, max_bits=max_bits,
+                )
+            )
+        return acc
     if not _use_pallas():
         # CPU fallback: wide windows explode the 2^(c-1)-bucket lookup
         # tables the XLA path compiles; tests only need correctness
@@ -1324,6 +1375,20 @@ def msm_device3(
         device_bases = DeviceBases2(bases[0].curve, bases)
     curve = device_bases.curve
     jf = JField(curve.base)
+    if n > _CHUNK_MAX:
+        from nova_tpu.curves.spec import AffinePoint
+
+        acc = AffinePoint.identity(curve)
+        for a in range(0, n, _CHUNK_MAX):
+            b = min(a + _CHUNK_MAX, n)
+            acc = acc.add(
+                msm_device3(
+                    scalars[a:b],
+                    device_bases=_db_slice(device_bases, a, b),
+                    window=window, max_bits=max_bits,
+                )
+            )
+        return acc
     if not _use_pallas():
         window = min(window, 9)
     W = _windows_for(window, curve.scalar.p, max_bits)
