@@ -20,12 +20,16 @@ BN_N_LIMBS = 4
 # ~0.5-2s, so the crossover sits high; on locally-attached chips it drops.
 import os as _os
 
-DEVICE_THRESHOLD = int(_os.environ.get("NOVA_DEVICE_THRESHOLD", str(1 << 17)))
+DEVICE_THRESHOLD = int(_os.environ.get("NOVA_DEVICE_THRESHOLD", str(1 << 16)))
 
 # Crossover for the fully device-resident fold pipeline (FVec state, fused
-# commit_T program, Montgomery-scalar MSM). Lower than DEVICE_THRESHOLD:
-# the fused path pays ~2 dispatches per cross-term instead of ~10 eager
-# kernel calls, so it wins already at augmented-circuit size (2^14).
+# commit_T program, Montgomery-scalar MSM).
+# Round-5 re-tune on the measured tunnel (PERFORMANCE.md round 5):
+# the per-dispatch floor is ~25 ms and a fold step makes ~10 dependent
+# dispatches, so device routing LOSES at augmented size (2^14): 592 ms
+# device vs ~200 ms host (round-2 idle-box datum). The device MSM wins
+# from ~2^16 up (81 ms vs ~226 ms host at 2^16). Crossovers sit there
+# now; on locally-attached chips (no 25 ms floor) they drop.
 FOLD_DEVICE_THRESHOLD = int(
-    _os.environ.get("NOVA_FOLD_DEVICE_THRESHOLD", str(1 << 13))
+    _os.environ.get("NOVA_FOLD_DEVICE_THRESHOLD", str(1 << 16))
 )

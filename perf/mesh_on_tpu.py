@@ -34,34 +34,10 @@ def main() -> int:
     from nova_tpu.provider.pedersen import CommitmentEngine
 
     rc = 0
+    rng = random.Random(0x0E5)
     mesh = par.make_mesh(1)
     print(f"mesh: {mesh.devices.size} real device(s) "
           f"({mesh.devices.flat[0].platform})", flush=True)
-
-    # --- sharded MSM on the real mesh vs host-native reference ---------
-    n = 1 << 12
-    rng = random.Random(0x0E5)
-    ck = CommitmentEngine.setup(pallas, b"bench-msm", n - 1)
-    bases = ck.ck[:n]
-    scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
-    want = native.msm_cached(
-        pallas, ck.host_arrays(n), native.ints_to_limbs(scalars)
-    )
-    from nova_tpu.ops.msm3 import DeviceBases2
-
-    db = DeviceBases2(pallas, bases)
-    t0 = time.perf_counter()
-    got = par.msm_sharded(scalars, mesh=mesh, device_bases=db)
-    cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    got2 = par.msm_sharded(scalars, mesh=mesh, device_bases=db)
-    warm = time.perf_counter() - t0
-    if got == want and got2 == want:
-        print(f"OK msm_sharded n={n} cold={cold:.1f}s warm={warm:.3f}s",
-              flush=True)
-    else:
-        print("FAIL msm_sharded: mismatch vs host MSM", flush=True)
-        rc = 1
 
     # --- sharded outer sumcheck vs host prover (bit-identical) ---------
     from nova_tpu.provider.engines import PallasEngine
@@ -73,7 +49,10 @@ def main() -> int:
     m = 1 << 10
     Az = [rng.randrange(p) for _ in range(m)]
     Bz = [rng.randrange(p) for _ in range(m)]
-    Cz = [rng.randrange(p) for _ in range(m)]
+    # claim 0 must be TRUE (outer-sumcheck shape): with a false claim the
+    # claim-derived linear coefficient (BDDT) makes different provers
+    # emit different-but-equally-meaningless transcripts
+    Cz = [a * b % p for a, b in zip(Az, Bz)]
     taus = [rng.randrange(p) for _ in range(10)]
 
     tr1 = PallasEngine.new_transcript(b"mesh-sc")
@@ -104,6 +83,30 @@ def main() -> int:
         print("FAIL sharded_sumcheck: proof diverges from host prover",
               flush=True)
         rc = 1
+    # --- sharded MSM on the real mesh vs host-native reference ---------
+    n = 1 << 12
+    ck = CommitmentEngine.setup(pallas, b"bench-msm", n - 1)
+    bases = ck.ck[:n]
+    scalars = [rng.randrange(pallas.scalar.p) for _ in range(n)]
+    want = native.msm_cached(
+        pallas, ck.host_arrays(n), native.ints_to_limbs(scalars)
+    )
+    from nova_tpu.ops.msm3 import DeviceBases2
+
+    db = DeviceBases2(pallas, bases)
+    t0 = time.perf_counter()
+    got = par.msm_sharded(scalars, mesh=mesh, device_bases=db)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got2 = par.msm_sharded(scalars, mesh=mesh, device_bases=db)
+    warm = time.perf_counter() - t0
+    if got == want and got2 == want:
+        print(f"OK msm_sharded n={n} cold={cold:.1f}s warm={warm:.3f}s",
+              flush=True)
+    else:
+        print("FAIL msm_sharded: mismatch vs host MSM", flush=True)
+        rc = 1
+
     return rc
 
 
