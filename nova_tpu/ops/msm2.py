@@ -1109,10 +1109,15 @@ class DeviceBases2:
         (cached per (window, size); ~W*c doublings on device, once)."""
         key = (c, n_pad)
         if key not in self._fixed:
+            from nova_tpu.ops.aot import aot_call
+
             bx, by, binf = _sized(self, n_pad)
             W = (255 + c - 1) // c + 1
-            self._fixed[key] = _precompute_shifted(
-                self.jf.spec.p, c, W, bx, by, binf
+            self._fixed[key] = aot_call(
+                _precompute_shifted,
+                (self.jf.spec.p, c, W, bx, by, binf),
+                static_key=(self.jf.spec.p, c, W),
+                label="precompute_shifted",
             )
         return self._fixed[key]
 
