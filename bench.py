@@ -134,6 +134,18 @@ def bench_msm(engine: str = "msm2") -> float:
         marr = FVec.from_ints(JField(pallas.scalar), scalars).m
         jax.block_until_ready(marr)
         run = lambda: msm_device3_mont(marr, db)
+
+        def run_pipelined():
+            # the batch_commit pattern: K independent MSMs dispatched
+            # before the first collect (Spark oracle commits do exactly
+            # this); hides the tunnel's per-result round trip
+            from nova_tpu.ops.msm3 import msm_device3_mont_batch
+
+            K = 4
+            msm_device3_mont_batch([marr] * K, db)
+            t0 = time.perf_counter()
+            msm_device3_mont_batch([marr] * K, db)
+            return K * n / (time.perf_counter() - t0)
     elif engine == "msm3":
         from nova_tpu.ops.msm2 import DeviceBases2
         from nova_tpu.ops.msm3 import msm_device3
@@ -157,6 +169,8 @@ def bench_msm(engine: str = "msm2") -> float:
     for _ in range(iters):
         run()
     dt = (time.perf_counter() - t0) / iters
+    if engine == "msm3m":
+        return n / dt, run_pipelined()
     return n / dt
 
 
@@ -293,7 +307,10 @@ def _main_guarded() -> None:
             )
             env_extra = {}
             got = _run_stage(
-                "import bench; print('PTS', bench.bench_msm(%r), flush=True)\n" % eng,
+                "import bench\n"
+                "r = bench.bench_msm(%r)\n"
+                "print('PTS', *(r if isinstance(r, tuple) else (r,)),"
+                " flush=True)\n" % eng,
                 slice_s,
                 "PTS",
                 env_extra,
@@ -303,6 +320,12 @@ def _main_guarded() -> None:
                 # a device engine slower than the host native path must
                 # not replace the better measurement (ADVICE r4)
                 val = float(got[0])
+                if len(got) > 1:
+                    # pipelined batch-commit throughput (same chip, the
+                    # Spark batch_commit dispatch pattern)
+                    _state["extra"]["msm_pipelined_pts_per_s"] = round(
+                        float(got[1]), 1
+                    )
                 if _state["value"] is None or val > _state["value"]:
                     _state["value"] = val
                     _state["backend"] = f"tpu ({eng})"

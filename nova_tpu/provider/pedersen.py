@@ -348,8 +348,34 @@ class CommitmentEngine:
 
     @staticmethod
     def batch_commit(ck: CommitmentKey, vs, rs) -> list:
-        """commitment.rs:94-104."""
+        """commitment.rs:94-104. Device-resident (FVec) vectors batch
+        through the pipelined MSM path: all dispatches queue before the
+        first result is collected, hiding the per-result round trip."""
         assert len(vs) == len(rs)
+        from nova_tpu.constants import FOLD_DEVICE_THRESHOLD
+        from nova_tpu.ops.fvec import FVec
+        from nova_tpu.parallel import current_mesh
+
+        if (
+            len(vs) > 1
+            and current_mesh() is None
+            and all(
+                isinstance(v, FVec) and len(v) >= FOLD_DEVICE_THRESHOLD
+                for v in vs
+            )
+            and _device_ok()
+        ):
+            from nova_tpu.ops.msm3 import msm_device3_mont_batch
+
+            accs = msm_device3_mont_batch(
+                [v.m for v in vs], ck.device_bases2(max(len(v) for v in vs))
+            )
+            out = []
+            for acc, r in zip(accs, rs):
+                if r:
+                    acc = acc.add(ck.h.mul(r))
+                out.append(Commitment(acc))
+            return out
         return [CommitmentEngine.commit(ck, v, r) for v, r in zip(vs, rs)]
 
     @staticmethod
